@@ -1,0 +1,190 @@
+"""Config schema: the reference's mmengine template as frozen dataclasses.
+
+Keys and defaults mirror ``/root/reference/FourierGrid/configs/default.py``
+(data :9-40, coarse/fine train :44-81, coarse/fine model_and_render :85-125)
+so reference scene configs translate mechanically. Scene files are python
+dicts with ``_base_`` inheritance, loaded by
+:mod:`unboundednerfpytorch_tpu.configs.loader`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    datadir: str | None = None
+    dataset_type: str | None = None
+    inverse_y: bool = False
+    flip_x: bool = False
+    flip_y: bool = False
+    annot_path: str = ""
+    split_path: str = ""
+    sequence_name: str = ""
+    load2gpu_on_the_fly: bool = False
+    testskip: int = 1
+    white_bkgd: bool = False
+    rand_bkgd: bool = False
+    half_res: bool = False
+    bd_factor: float = 0.75
+    movie_render_kwargs: tuple = ()
+    ndc: bool = False
+    spherify: bool = False
+    factor: int = 4
+    width: int | None = None
+    height: int | None = None
+    llffhold: int = 8
+    dvgohold: int = 8
+    load_depths: bool = False
+    unbounded_inward: bool = False
+    unbounded_inner_r: float = 1.0
+    boundary_ratio: float = 0.01
+    sort_by_cam_position: bool = False
+    training_ids: tuple = ()
+    test_ids: tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStageConfig:
+    N_iters: int = 5000
+    N_rand: int = 8192
+    lrate_density: float = 1e-1
+    lrate_k0: float = 1e-1
+    lrate_rgbnet: float = 1e-3
+    lrate_vd: float = 0.0
+    lrate_img_embeddings: float = 0.0
+    lrate_decay: int = 20
+    pervoxel_lr: bool = True
+    pervoxel_lr_downrate: int = 1
+    ray_sampler: str = "random"
+    weight_main: float = 1.0
+    weight_entropy_last: float = 0.01
+    weight_nearclip: float = 0.0
+    weight_distortion: float = 0.0
+    weight_rgbper: float = 0.1
+    weight_freq: float = 0.0
+    tv_every: int = 1
+    tv_after: int = 0
+    tv_before: int = 0
+    tv_dense_before: int = 0
+    weight_tv_density: float = 0.0
+    weight_tv_k0: float = 0.0
+    pg_scale: tuple = ()
+    decay_after_scale: float = 1.0
+    skip_zero_grad_fields: tuple = ()
+    maskout_lt_nviews: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelRenderConfig:
+    num_voxels_rgb: int = 1024000
+    num_voxels_density: int = 1024000
+    num_voxels_viewdir: int = -1
+    num_voxels_base_density: int = 1024000
+    num_voxels_base_rgb: int = 1024000
+    density_type: str = "DenseGrid"
+    k0_type: str = "DenseGrid"
+    density_config: tuple = ()
+    k0_config: tuple = ()
+    mpi_depth: int = 128
+    nearest: bool = False
+    pre_act_density: bool = False
+    in_act_density: bool = False
+    bbox_thres: float = 1e-3
+    mask_cache_thres: float = 1e-3
+    rgbnet_dim: int = 0
+    rgbnet_full_implicit: bool = False
+    rgbnet_direct: bool = True
+    rgbnet_depth: int = 3
+    rgbnet_width: int = 128
+    alpha_init: float = 1e-6
+    fast_color_thres: float = 1e-7
+    # step-keyed schedule {step: thres} (garden_single.py:12-21); empty = use
+    # the scalar fast_color_thres.
+    fast_color_thres_schedule: tuple = ()
+    maskout_near_cam_vox: bool = True
+    world_bound_scale: float = 1.0
+    stepsize: float = 0.5
+    fourier_freq_num: int = 0
+    bg_len: float = 0.2
+    contracted_norm: str = "inf"
+    img_emb_dim: int = -1
+    t_boundary: float = 1.5
+
+
+@dataclasses.dataclass(frozen=True)
+class ExpConfig:
+    """Top-level experiment config (the reference cfg object)."""
+
+    expname: str = "exp"
+    basedir: str = "./logs/"
+    model: str | None = None  # None -> auto-dispatch like create_new_model
+    data: DataConfig = field(default_factory=DataConfig)
+    coarse_train: TrainStageConfig = field(default_factory=TrainStageConfig)
+    fine_train: TrainStageConfig = field(
+        default_factory=lambda: TrainStageConfig(
+            N_iters=20000,
+            pervoxel_lr=False,
+            ray_sampler="in_maskcache",
+            weight_entropy_last=0.001,
+            weight_rgbper=0.01,
+            pg_scale=(1000, 2000, 3000, 4000),
+            skip_zero_grad_fields=("density", "k0"),
+        )
+    )
+    coarse_model_and_render: ModelRenderConfig = field(default_factory=ModelRenderConfig)
+    fine_model_and_render: ModelRenderConfig = field(
+        default_factory=lambda: ModelRenderConfig(
+            num_voxels_density=160**3,
+            num_voxels_rgb=160**3,
+            num_voxels_base_density=160**3,
+            num_voxels_base_rgb=160**3,
+            rgbnet_dim=12,
+            alpha_init=1e-2,
+            fast_color_thres=1e-4,
+            maskout_near_cam_vox=False,
+            world_bound_scale=1.05,
+            fourier_freq_num=3,
+        )
+    )
+
+
+def _freeze(value):
+    """dict -> sorted tuple items, list -> tuple (hashable config leaves)."""
+    if isinstance(value, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in value.items()))
+    if isinstance(value, (list, tuple)):
+        return tuple(_freeze(v) for v in value)
+    return value
+
+
+def _build(cls, d: dict):
+    names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in names:
+            continue  # tolerate unknown keys like the reference's mmengine
+        kwargs[k] = _freeze(v)
+    return cls(**kwargs)
+
+
+def exp_config_from_dict(d: dict) -> ExpConfig:
+    """Build an ExpConfig from a (merged) plain-dict scene config."""
+    kwargs: dict = {}
+    for key, cls in (
+        ("data", DataConfig),
+        ("coarse_train", TrainStageConfig),
+        ("fine_train", TrainStageConfig),
+        ("coarse_model_and_render", ModelRenderConfig),
+        ("fine_model_and_render", ModelRenderConfig),
+    ):
+        if key in d:
+            base = dataclasses.asdict(getattr(ExpConfig(), key))
+            base.update(d[key])
+            kwargs[key] = _build(cls, base)
+    for key in ("expname", "basedir", "model"):
+        if key in d:
+            kwargs[key] = d[key]
+    return ExpConfig(**kwargs)

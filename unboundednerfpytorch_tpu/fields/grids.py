@@ -1,0 +1,319 @@
+"""Field primitives (L4): the parameter representations of a scene.
+
+TPU-native re-design of the reference grid classes
+(``/root/reference/FourierGrid/grid.py`` and ``FourierGrid_grid.py``):
+
+  * :class:`DenseGrid` — dense voxel grid, trilinear query
+    (ref ``grid.py:41-84``).
+  * :class:`FourierGrid` — the paper's key op: [2K+1] frequency banks queried
+    at NeRF-positional-embedded coordinates and mean-reduced
+    (ref ``FourierGrid_grid.py:42-101``).
+  * :class:`TensoRFGrid` — vector-matrix decomposition
+    (ref ``grid.py:90-201``).
+  * :class:`MaskGrid` — boolean occupancy with nearest-voxel lookup
+    (ref ``grid.py:207-242``).
+
+Each is a flax.struct pytree (arrays are leaves, scene bounds are static), so
+grids flow through jit/pjit/grad directly and the optimizer sees their arrays
+as ordinary parameters. Grid storage is channel-last [X, Y, Z, C] (banks
+leading for FourierGrid: [B, X, Y, Z, C]) — the gather-friendly TPU layout —
+instead of torch's [1, C, X, Y, Z].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from unboundednerfpytorch_tpu.ops import interp, sampling
+
+
+def _norm01(xyz: jnp.ndarray, xyz_min, xyz_max) -> jnp.ndarray:
+    mn = jnp.asarray(xyz_min)
+    mx = jnp.asarray(xyz_max)
+    return (xyz - mn) / (mx - mn)
+
+
+@struct.dataclass
+class DenseGrid:
+    """Dense voxel grid; query = trilinear sample at normalized coords."""
+
+    grid: jnp.ndarray  # [X, Y, Z, C]
+    xyz_min: tuple = struct.field(pytree_node=False)
+    xyz_max: tuple = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, channels: int, world_size, xyz_min, xyz_max, dtype=jnp.float32):
+        X, Y, Z = (int(s) for s in world_size)
+        return cls(
+            grid=jnp.zeros((X, Y, Z, channels), dtype=dtype),
+            xyz_min=tuple(float(v) for v in xyz_min),
+            xyz_max=tuple(float(v) for v in xyz_max),
+        )
+
+    @property
+    def channels(self) -> int:
+        return self.grid.shape[-1]
+
+    @property
+    def world_size(self) -> tuple:
+        return self.grid.shape[:3]
+
+    def __call__(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        """Query [..., 3] world coords -> [..., C] (C squeezed when 1 by the
+        caller if desired; we always keep the channel axis)."""
+        return interp.grid_sample_3d(self.grid, _norm01(xyz, self.xyz_min, self.xyz_max))
+
+    def scale_volume_grid(self, new_world_size) -> "DenseGrid":
+        new = interp.resize_grid_3d(self.grid, tuple(int(s) for s in new_world_size))
+        return self.replace(grid=new)
+
+    def get_dense_grid(self) -> jnp.ndarray:
+        return self.grid
+
+
+def nerf_pos_embed_coords(coords: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
+    """Embed normalized [-1,1] coords to the (2K+1) FourierGrid bank coords.
+
+    Returns [..., 2K+1, 3]: bank 0 = identity, then (sin 2^k c, cos 2^k c) for
+    k = 0..K-1 (ref ``FourierGrid_grid.py:21-36`` with logscale=True; sin/cos
+    outputs land in [-1,1] so every bank's query is in range).
+    """
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=coords.dtype)
+    scaled = coords[..., None, :] * freqs[:, None]  # [..., K, 3]
+    banks = [coords[..., None, :]]
+    for k in range(num_freqs):
+        banks.append(jnp.sin(scaled[..., k : k + 1, :]))
+        banks.append(jnp.cos(scaled[..., k : k + 1, :]))
+    return jnp.concatenate(banks, axis=-2)
+
+
+@struct.dataclass
+class FourierGrid:
+    """Fourier-embedded multi-bank voxel grid.
+
+    grid [B, X, Y, Z, C] with B = 2K+1 banks. Query: normalize xyz to [-1,1],
+    positional-embed into B per-bank 3D coordinates, trilinearly sample each
+    bank at its own coordinate, mean over banks
+    (ref ``FourierGrid_grid.py:60-78``). With num_freqs <= 0 this degrades to
+    a plain DenseGrid (B = 1, identity coords) exactly like
+    ``use_nerf_pos=False`` in the reference.
+    """
+
+    grid: jnp.ndarray  # [B, X, Y, Z, C]
+    xyz_min: tuple = struct.field(pytree_node=False)
+    xyz_max: tuple = struct.field(pytree_node=False)
+    num_freqs: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def create(
+        cls,
+        channels: int,
+        world_size,
+        xyz_min,
+        xyz_max,
+        num_freqs: int = 0,
+        dtype=jnp.float32,
+    ):
+        X, Y, Z = (int(s) for s in world_size)
+        banks = 1 + 2 * num_freqs if num_freqs > 0 else 1
+        return cls(
+            grid=jnp.zeros((banks, X, Y, Z, channels), dtype=dtype),
+            xyz_min=tuple(float(v) for v in xyz_min),
+            xyz_max=tuple(float(v) for v in xyz_max),
+            num_freqs=num_freqs,
+        )
+
+    @property
+    def channels(self) -> int:
+        return self.grid.shape[-1]
+
+    @property
+    def world_size(self) -> tuple:
+        return self.grid.shape[1:4]
+
+    @property
+    def num_banks(self) -> int:
+        return self.grid.shape[0]
+
+    def __call__(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        coords = _norm01(xyz, self.xyz_min, self.xyz_max) * 2.0 - 1.0  # [-1,1]
+        if self.num_freqs > 0:
+            bank_coords = nerf_pos_embed_coords(coords, self.num_freqs)  # [...,B,3]
+            # vmap the trilinear sample over banks; mean-reduce.
+            def sample_bank(bank_grid, c01):
+                return interp.grid_sample_3d(bank_grid, c01)
+
+            c01 = (bank_coords + 1.0) * 0.5  # back to [0,1] per-bank coords
+            c01 = jnp.moveaxis(c01, -2, 0)  # [B, ..., 3]
+            vals = jax.vmap(sample_bank)(self.grid, c01)  # [B, ..., C]
+            return vals.mean(axis=0)
+        return interp.grid_sample_3d(self.grid[0], (coords + 1.0) * 0.5)
+
+    def scale_volume_grid(self, new_world_size) -> "FourierGrid":
+        size = tuple(int(s) for s in new_world_size)
+        new = jax.vmap(lambda g: interp.resize_grid_3d(g, size))(self.grid)
+        return self.replace(grid=new)
+
+    def get_dense_grid(self) -> jnp.ndarray:
+        return self.grid
+
+
+@struct.dataclass
+class TensoRFGrid:
+    """Vector-matrix decomposed grid (TensoRF, ref ``grid.py:90-201``).
+
+    Planes are [A, B, R] channel-last, vectors [A, R]. Query multiplies the
+    three plane·vector factor pairs and (for channels>1) projects the stacked
+    components through ``f_vec`` on the MXU.
+    """
+
+    xy_plane: jnp.ndarray  # [X, Y, Rxy]
+    xz_plane: jnp.ndarray  # [X, Z, R]
+    yz_plane: jnp.ndarray  # [Y, Z, R]
+    x_vec: jnp.ndarray  # [X, R]
+    y_vec: jnp.ndarray  # [Y, R]
+    z_vec: jnp.ndarray  # [Z, Rxy]
+    f_vec: jnp.ndarray | None  # [R+R+Rxy, C] or None for scalar grids
+    xyz_min: tuple = struct.field(pytree_node=False)
+    xyz_max: tuple = struct.field(pytree_node=False)
+    channels: int = struct.field(pytree_node=False, default=1)
+
+    @classmethod
+    def create(cls, channels, world_size, xyz_min, xyz_max, n_comp, n_comp_xy=None, key=None):
+        X, Y, Z = (int(s) for s in world_size)
+        R = int(n_comp)
+        Rxy = int(n_comp_xy) if n_comp_xy is not None else R
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 7)
+        init = lambda k, shape: jax.random.normal(k, shape) * 0.1
+        if channels > 1:
+            # kaiming-uniform fan_in init for the feature projection.
+            fan_in = R + R + Rxy
+            bound = jnp.sqrt(6.0 / ((1 + 5.0) * fan_in))
+            f_vec = jax.random.uniform(ks[6], (R + R + Rxy, channels), minval=-bound, maxval=bound)
+        else:
+            f_vec = None
+        return cls(
+            xy_plane=init(ks[0], (X, Y, Rxy)),
+            xz_plane=init(ks[1], (X, Z, R)),
+            yz_plane=init(ks[2], (Y, Z, R)),
+            x_vec=init(ks[3], (X, R)),
+            y_vec=init(ks[4], (Y, R)),
+            z_vec=init(ks[5], (Z, Rxy)),
+            f_vec=f_vec,
+            xyz_min=tuple(float(v) for v in xyz_min),
+            xyz_max=tuple(float(v) for v in xyz_max),
+            channels=channels,
+        )
+
+    @property
+    def world_size(self) -> tuple:
+        return (self.xy_plane.shape[0], self.xy_plane.shape[1], self.xz_plane.shape[1])
+
+    def __call__(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        n01 = _norm01(xyz, self.xyz_min, self.xyz_max)
+        x, y, z = n01[..., 0], n01[..., 1], n01[..., 2]
+
+        def line(vec, c):  # [A, R] sampled at c in [0,1] -> [..., R]
+            return interp.grid_sample_2d(vec[:, None, :], jnp.stack([c, jnp.zeros_like(c)], -1))
+
+        xy = interp.grid_sample_2d(self.xy_plane, jnp.stack([x, y], -1))
+        xz = interp.grid_sample_2d(self.xz_plane, jnp.stack([x, z], -1))
+        yz = interp.grid_sample_2d(self.yz_plane, jnp.stack([y, z], -1))
+        xv = line(self.x_vec, x)
+        yv = line(self.y_vec, y)
+        zv = line(self.z_vec, z)
+        if self.channels > 1:
+            feat = jnp.concatenate([xy * zv, xz * yv, yz * xv], axis=-1)
+            return jnp.einsum(
+                "...r,rc->...c", feat, self.f_vec, preferred_element_type=jnp.float32
+            )
+        val = (xy * zv).sum(-1) + (xz * yv).sum(-1) + (yz * xv).sum(-1)
+        return val[..., None]
+
+    def scale_volume_grid(self, new_world_size) -> "TensoRFGrid":
+        X, Y, Z = (int(s) for s in new_world_size)
+        r2 = lambda p, s: interp.resize_grid_3d(p[None], (1, s[0], s[1]))[0]
+
+        def resize_plane(p, a, b):
+            return interp.resize_grid_3d(p[:, :, None, :], (a, b, 1))[:, :, 0, :]
+
+        def resize_vec(v, a):
+            return interp.resize_grid_3d(v[:, None, None, :], (a, 1, 1))[:, 0, 0, :]
+
+        return self.replace(
+            xy_plane=resize_plane(self.xy_plane, X, Y),
+            xz_plane=resize_plane(self.xz_plane, X, Z),
+            yz_plane=resize_plane(self.yz_plane, Y, Z),
+            x_vec=resize_vec(self.x_vec, X),
+            y_vec=resize_vec(self.y_vec, Y),
+            z_vec=resize_vec(self.z_vec, Z),
+        )
+
+    def get_dense_grid(self) -> jnp.ndarray:
+        if self.channels > 1:
+            feat = jnp.concatenate(
+                [
+                    jnp.einsum("xyr,zr->xyzr", self.xy_plane, self.z_vec),
+                    jnp.einsum("xzr,yr->xyzr", self.xz_plane, self.y_vec),
+                    jnp.einsum("yzr,xr->xyzr", self.yz_plane, self.x_vec),
+                ],
+                axis=-1,
+            )
+            return jnp.einsum("xyzr,rc->xyzc", feat, self.f_vec)
+        g = (
+            jnp.einsum("xyr,zr->xyz", self.xy_plane, self.z_vec)
+            + jnp.einsum("xzr,yr->xyz", self.xz_plane, self.y_vec)
+            + jnp.einsum("yzr,xr->xyz", self.yz_plane, self.x_vec)
+        )
+        return g[..., None]
+
+
+@struct.dataclass
+class MaskGrid:
+    """Boolean occupancy grid; nearest-voxel query (ref ``grid.py:207-242``).
+
+    On TPU the mask is consumed *multiplicatively* (alpha masking), never as a
+    gather/compaction.
+    """
+
+    mask: jnp.ndarray  # [X, Y, Z] bool
+    xyz_min: tuple = struct.field(pytree_node=False)
+    xyz_max: tuple = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, world_size, xyz_min, xyz_max, mask: jnp.ndarray | None = None):
+        X, Y, Z = (int(s) for s in world_size)
+        if mask is None:
+            mask = jnp.ones((X, Y, Z), dtype=bool)
+        return cls(
+            mask=mask,
+            xyz_min=tuple(float(v) for v in xyz_min),
+            xyz_max=tuple(float(v) for v in xyz_max),
+        )
+
+    def _scale_shift(self):
+        mn = jnp.asarray(self.xyz_min)
+        mx = jnp.asarray(self.xyz_max)
+        size = jnp.asarray(self.mask.shape, dtype=jnp.float32)
+        scale = (size - 1) / (mx - mn)
+        return scale, -mn * scale
+
+    def __call__(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        scale, shift = self._scale_shift()
+        return sampling.maskcache_lookup(self.mask, xyz, scale, shift)
+
+
+def create_grid(grid_type: str, **kwargs: Any):
+    """Factory mirroring the reference ``create_grid`` dispatch."""
+    if grid_type == "DenseGrid":
+        return DenseGrid.create(**kwargs)
+    if grid_type == "FourierGrid":
+        return FourierGrid.create(**kwargs)
+    if grid_type == "TensoRFGrid":
+        return TensoRFGrid.create(**kwargs)
+    raise NotImplementedError(f"unknown grid type {grid_type!r}")

@@ -1,0 +1,130 @@
+"""Full-image rendering + evaluation (L6).
+
+Re-implements ``render_viewpoints`` / ``run_render``
+(``/root/reference/FourierGrid/run_render.py:14-114``): per-pose ray
+generation, chunked forward passes, PSNR/SSIM/LPIPS accumulation, depth
+visualization. Chunks are fixed-size (pad the last) so the jitted render
+function compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unboundednerfpytorch_tpu.ops import rays as ray_ops
+from unboundednerfpytorch_tpu.utils import metrics as M
+
+DEFAULT_CHUNK = 8192  # the reference's render chunk (run_render.py:54)
+
+
+def render_image(
+    forward_fn: Callable,
+    H: int,
+    W: int,
+    K,
+    c2w,
+    *,
+    ndc: bool = False,
+    inverse_y: bool = False,
+    flip_x: bool = False,
+    flip_y: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Render one view. forward_fn(ro, rd, vd) -> RenderResult (jitted by
+    the caller or here on first use). Returns (rgb [H,W,3], depth [H,W],
+    alphainv_last [H,W]) as numpy."""
+    ro, rd, vd = ray_ops.get_rays_of_a_view(
+        H, W, jnp.asarray(K), jnp.asarray(c2w),
+        ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
+    )
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    vd = vd.reshape(-1, 3)
+    n = ro.shape[0]
+    n_pad = (-n) % chunk
+    if n_pad:
+        pad = lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], n_pad, axis=0)])
+        ro, rd, vd = pad(ro), pad(rd), pad(vd)
+
+    rgbs, depths, bgws = [], [], []
+    for i in range(0, ro.shape[0], chunk):
+        res = forward_fn(ro[i : i + chunk], rd[i : i + chunk], vd[i : i + chunk])
+        rgbs.append(np.asarray(res.rgb_marched))
+        depths.append(np.asarray(res.depth))
+        bgws.append(np.asarray(res.alphainv_last))
+    rgb = np.concatenate(rgbs)[:n].reshape(H, W, 3)
+    depth = np.concatenate(depths)[:n].reshape(H, W)
+    bgw = np.concatenate(bgws)[:n].reshape(H, W)
+    return rgb, depth, bgw
+
+
+def render_viewpoints(
+    forward_fn: Callable,
+    poses,
+    HW,
+    Ks,
+    *,
+    gt_imgs=None,
+    ndc: bool = False,
+    inverse_y: bool = False,
+    flip_x: bool = False,
+    flip_y: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+    eval_ssim: bool = True,
+    eval_lpips: bool = False,
+    verbose: bool = True,
+    log_fn=print,
+):
+    """Render a split of poses and (optionally) evaluate vs ground truth.
+
+    Returns dict(rgbs, depths, bgmaps, psnrs, ssims, lpips).
+    """
+    jfwd = jax.jit(forward_fn)
+    rgbs, depths, bgmaps = [], [], []
+    psnrs, ssims, lpips_vals = [], [], []
+    for i, c2w in enumerate(np.asarray(poses)):
+        H, W = (int(v) for v in np.asarray(HW)[i])
+        K = np.asarray(Ks)[i]
+        rgb, depth, bgw = render_image(
+            jfwd, H, W, K, c2w[:3, :4],
+            ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y, chunk=chunk,
+        )
+        rgbs.append(rgb)
+        depths.append(depth)
+        bgmaps.append(bgw)
+        if gt_imgs is not None:
+            gt = np.asarray(gt_imgs[i])
+            psnrs.append(M.psnr(rgb, gt))
+            if eval_ssim:
+                ssims.append(M.rgb_ssim(rgb, gt, max_val=1.0))
+            if eval_lpips:
+                try:
+                    lpips_vals.append(M.rgb_lpips(gt, rgb))
+                except ImportError:
+                    pass
+    if gt_imgs is not None and verbose:
+        log_fn(f"render eval: psnr {np.mean(psnrs):.2f}")
+        if ssims:
+            log_fn(f"render eval: ssim {np.mean(ssims):.4f}")
+        if lpips_vals:
+            log_fn(f"render eval: lpips {np.mean(lpips_vals):.4f}")
+    return {
+        "rgbs": np.stack(rgbs) if rgbs else np.zeros((0,)),
+        "depths": np.stack(depths) if depths else np.zeros((0,)),
+        "bgmaps": np.stack(bgmaps) if bgmaps else np.zeros((0,)),
+        "psnrs": psnrs,
+        "ssims": ssims,
+        "lpips": lpips_vals,
+    }
+
+
+def depth_to_vis(depth: np.ndarray, p_low: float = 2.0, p_high: float = 98.0):
+    """Percentile-normalized depth visualization (run_render.py:308-315)."""
+    lo, hi = np.percentile(depth, [p_low, p_high])
+    x = np.clip((depth - lo) / max(hi - lo, 1e-8), 0, 1)
+    return (255 * x).astype(np.uint8)

@@ -1,0 +1,319 @@
+"""Training orchestration (L6): the coarse→fine recipe.
+
+Re-implements ``scene_rep_reconstruction`` / ``run_train``
+(``/root/reference/FourierGrid/run_train.py:98-398``) around the single
+jitted step: model factory dispatch, ray-store precompute, progressive
+pg_scale upsampling (a re-jit boundary: grids are resized, the optimizer is
+rebuilt, act_shift is decayed), per-voxel lr init, periodic logging, and
+checkpoint save.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unboundednerfpytorch_tpu.configs.schema import ExpConfig, ModelRenderConfig, TrainStageConfig
+from unboundednerfpytorch_tpu.models import dvgo
+from unboundednerfpytorch_tpu.ops import rays as ray_ops
+from unboundednerfpytorch_tpu.train import bbox as bbox_mod
+from unboundednerfpytorch_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_sampled_step,
+    make_train_step,
+)
+
+
+def build_model(
+    cfg: ExpConfig,
+    cfg_model: ModelRenderConfig,
+    cfg_train: TrainStageConfig,
+    xyz_min,
+    xyz_max,
+    key: jax.Array,
+):
+    """Model factory dispatch (run_train.py:19-55). pg_scale shrinks the
+    initial voxel count by 4^-... i.e. /2^len(pg_scale) per reference."""
+    num_voxels_density = cfg_model.num_voxels_density
+    num_voxels_rgb = cfg_model.num_voxels_rgb
+    if cfg_train.pg_scale:
+        num_voxels_density = int(num_voxels_density / (2 ** len(cfg_train.pg_scale)))
+        num_voxels_rgb = int(num_voxels_rgb / (2 ** len(cfg_train.pg_scale)))
+
+    name = model_family_name(cfg)
+    if name == "FourierGrid":
+        from unboundednerfpytorch_tpu.models import fourier_grid as fg
+
+        mcfg = fg.config_from(cfg_model, xyz_min, xyz_max,
+                              num_voxels_density, num_voxels_rgb)
+        params = fg.create(mcfg, key)
+        return "FourierGrid", mcfg, params
+    if name == "dmpigo":
+        from unboundednerfpytorch_tpu.models import dmpigo
+
+        mcfg = dmpigo.config_from(cfg_model, xyz_min, xyz_max, num_voxels_rgb)
+        params = dmpigo.create(mcfg, key)
+        return "dmpigo", mcfg, params
+    if name == "dcvgo":
+        from unboundednerfpytorch_tpu.models import dcvgo
+
+        mcfg = dcvgo.config_from(cfg_model, xyz_min, xyz_max, num_voxels_rgb)
+        params = dcvgo.create(mcfg, key)
+        return "dcvgo", mcfg, params
+
+    mcfg = dvgo.DVGOConfig(
+        xyz_min=tuple(float(v) for v in xyz_min),
+        xyz_max=tuple(float(v) for v in xyz_max),
+        num_voxels=num_voxels_rgb,
+        num_voxels_base=cfg_model.num_voxels_base_rgb,
+        alpha_init=cfg_model.alpha_init,
+        fast_color_thres=cfg_model.fast_color_thres,
+        density_type=cfg_model.density_type,
+        k0_type=cfg_model.k0_type,
+        density_config=cfg_model.density_config,
+        k0_config=cfg_model.k0_config,
+        rgbnet_dim=cfg_model.rgbnet_dim,
+        rgbnet_direct=cfg_model.rgbnet_direct,
+        rgbnet_full_implicit=cfg_model.rgbnet_full_implicit,
+        rgbnet_depth=cfg_model.rgbnet_depth,
+        rgbnet_width=cfg_model.rgbnet_width,
+        mask_cache_thres=cfg_model.mask_cache_thres,
+    )
+    params = dvgo.create(mcfg, key)
+    return "dvgo", mcfg, params
+
+
+def model_family_name(cfg: ExpConfig) -> str:
+    """Dispatch rule of run_train.py:29-51."""
+    if cfg.data.dataset_type in ("waymo", "mega", "nerfpp") or cfg.model == "FourierGrid":
+        return "FourierGrid"
+    if cfg.data.ndc:
+        return "dmpigo"
+    if cfg.data.unbounded_inward:
+        return "dcvgo"
+    return "dvgo"
+
+
+def gather_training_rays(cfg: ExpConfig, data_dict: dict) -> dict:
+    """Precompute the flattened device ray store (dvgo.py:595-627)."""
+    i_train = np.asarray(data_dict["i_train"])
+    HW = np.asarray(data_dict["HW"])
+    H, W = int(HW[i_train[0]][0]), int(HW[i_train[0]][1])
+    K = jnp.asarray(np.asarray(data_dict["Ks"])[i_train[0]])
+    poses = jnp.asarray(np.asarray(data_dict["poses"])[i_train][:, :3, :4])
+    images = jnp.asarray(np.asarray(data_dict["images"])[i_train])
+
+    rgb, rays_o, rays_d, viewdirs, img_index = ray_ops.get_training_rays_flatten(
+        images, poses, H, W, K,
+        ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+        flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+    )
+    return {
+        "rgb": rgb,
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+        "viewdirs": viewdirs,
+        "img_index": img_index,
+    }
+
+
+def make_forward(family: str, mcfg, render_kwargs: dict) -> Callable:
+    """Close the model family's forward over static config + render kwargs,
+    exposing the uniform (params, ro, rd, vd, key, img_index) signature used
+    by the train step."""
+    if family == "dvgo":
+
+        def fwd(params, ro, rd, vd, key, img_index=None):
+            return dvgo.forward(
+                params, mcfg, ro, rd, vd,
+                near=render_kwargs["near"],
+                stepsize=render_kwargs["stepsize"],
+                bg=render_kwargs["bg"],
+            )
+
+        return fwd
+    if family == "FourierGrid":
+        from unboundednerfpytorch_tpu.models import fourier_grid as fg
+
+        def fwd(params, ro, rd, vd, key, img_index=None):
+            return fg.forward(
+                params, mcfg, ro, rd, vd,
+                stepsize=render_kwargs["stepsize"],
+                rand_bkgd_key=key if render_kwargs.get("rand_bkgd") else None,
+                img_index=img_index,
+            )
+
+        return fwd
+    if family == "dcvgo":
+        from unboundednerfpytorch_tpu.models import dcvgo
+
+        def fwd(params, ro, rd, vd, key, img_index=None):
+            return dcvgo.forward(
+                params, mcfg, ro, rd, vd,
+                near=render_kwargs["near"],
+                stepsize=render_kwargs["stepsize"],
+                bg=render_kwargs["bg"],
+            )
+
+        return fwd
+    if family == "dmpigo":
+        from unboundednerfpytorch_tpu.models import dmpigo
+
+        def fwd(params, ro, rd, vd, key, img_index=None):
+            return dmpigo.forward(
+                params, mcfg, ro, rd, vd,
+                stepsize=render_kwargs["stepsize"],
+                bg=render_kwargs["bg"],
+            )
+
+        return fwd
+    raise NotImplementedError(family)
+
+
+def scale_model(family: str, params, mcfg, num_voxels_density, num_voxels_rgb):
+    if family == "dvgo":
+        return dvgo.scale_volume_grid(params, mcfg, num_voxels_rgb)
+    if family == "FourierGrid":
+        from unboundednerfpytorch_tpu.models import fourier_grid as fg
+
+        return fg.scale_volume_grid(params, mcfg, num_voxels_density, num_voxels_rgb)
+    if family == "dcvgo":
+        from unboundednerfpytorch_tpu.models import dcvgo
+
+        return dcvgo.scale_volume_grid(params, mcfg, num_voxels_rgb)
+    if family == "dmpigo":
+        from unboundednerfpytorch_tpu.models import dmpigo
+
+        return dmpigo.scale_volume_grid(params, mcfg, num_voxels_rgb)
+    raise NotImplementedError(family)
+
+
+def scene_rep_reconstruction(
+    cfg: ExpConfig,
+    cfg_model: ModelRenderConfig,
+    cfg_train: TrainStageConfig,
+    xyz_min,
+    xyz_max,
+    data_dict: dict,
+    stage: str,
+    seed: int = 777,
+    log_every: int = 500,
+    log_fn: Callable[[str], None] = print,
+    callback: Callable[[int, dict], None] | None = None,
+):
+    """One training stage; returns (family, model config, trained params, psnr)."""
+    # world_bound_scale bbox inflation (run_train.py:100-104)
+    xyz_min = np.asarray(xyz_min, np.float64)
+    xyz_max = np.asarray(xyz_max, np.float64)
+    if abs(cfg_model.world_bound_scale - 1) > 1e-9:
+        shift = (xyz_max - xyz_min) * (cfg_model.world_bound_scale - 1) / 2
+        xyz_min = xyz_min - shift
+        xyz_max = xyz_max + shift
+
+    key = jax.random.PRNGKey(seed)
+    key, k_model = jax.random.split(key)
+    family, mcfg, params = build_model(
+        cfg, cfg_model, cfg_train, xyz_min, xyz_max, k_model
+    )
+
+    if cfg_model.maskout_near_cam_vox and family == "dvgo":
+        cam_o = jnp.asarray(
+            np.asarray(data_dict["poses"])[np.asarray(data_dict["i_train"])][:, :3, 3]
+        )
+        params = dvgo.maskout_near_cam_vox(params, mcfg, cam_o, data_dict["near"])
+
+    render_kwargs = {
+        "near": float(data_dict["near"]),
+        "far": float(data_dict["far"]),
+        "bg": 1.0 if cfg.data.white_bkgd else 0.0,
+        "rand_bkgd": cfg.data.rand_bkgd,
+        "stepsize": cfg_model.stepsize,
+    }
+
+    store = gather_training_rays(cfg, data_dict)
+    state = create_train_state(params, cfg_train)
+
+    def compile_step(mcfg_now, params_now):
+        fwd = make_forward(family, mcfg_now, render_kwargs)
+        ws_max = float(max(mcfg_now.world_size))
+        core = make_train_step(fwd, cfg_train, world_size_max=ws_max)
+        return make_sampled_step(core, cfg_train.N_rand)
+
+    step_fn = compile_step(mcfg, params)
+
+    psnr_hist: list[float] = []
+    last_psnr = 0.0
+    t0 = time.time()
+    n_iters = cfg_train.N_iters
+    pg_scale = list(cfg_train.pg_scale)
+
+    for global_step in range(1, n_iters + 1):
+        if global_step in pg_scale:
+            n_rest = len(pg_scale) - pg_scale.index(global_step) - 1
+            cur_vox_density = int(cfg_model.num_voxels_density / (2**n_rest))
+            cur_vox_rgb = int(cfg_model.num_voxels_rgb / (2**n_rest))
+            params = state.params
+            params, mcfg = scale_model(family, params, mcfg, cur_vox_density, cur_vox_rgb)
+            params = params.replace(
+                act_shift=params.act_shift - cfg_train.decay_after_scale
+            )
+            # optimizer rebuilt from scratch at the boundary (run_train.py:199)
+            state = create_train_state(params, cfg_train, start_step=global_step - 1)
+            step_fn = compile_step(mcfg, params)
+
+        key, k_step = jax.random.split(key)
+        state, metrics = step_fn(state, store, k_step)
+
+        if global_step % log_every == 0 or global_step == n_iters:
+            m = jax.device_get(metrics)
+            last_psnr = float(m["psnr"])
+            psnr_hist.append(last_psnr)
+            eps = time.time() - t0
+            log_fn(
+                f"{stage} iter {global_step:6d} / loss {float(m['loss']):.6f} / "
+                f"psnr {last_psnr:5.2f} / {eps:6.1f}s"
+            )
+        if callback is not None:
+            callback(global_step, metrics)
+
+    return family, mcfg, state.params, last_psnr
+
+
+def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print):
+    """Full two-stage recipe (run_train.py:336-398). Returns the fine model."""
+    xyz_min_c, xyz_max_c = bbox_mod.compute_bbox_by_cam_frustrm(
+        cfg, data_dict, model_family_name(cfg)
+    )
+    coarse_out = None
+    if cfg.coarse_train.N_iters > 0:
+        coarse_out = scene_rep_reconstruction(
+            cfg, cfg.coarse_model_and_render, cfg.coarse_train,
+            xyz_min_c, xyz_max_c, data_dict, stage="coarse",
+            seed=seed, log_fn=log_fn,
+        )
+
+    if coarse_out is None or cfg.data.dataset_type == "waymo":
+        xyz_min_f, xyz_max_f = xyz_min_c, xyz_max_c
+        coarse_mask = None
+    else:
+        family_c, mcfg_c, params_c, _ = coarse_out
+        xyz_min_f, xyz_max_f = bbox_mod.compute_bbox_by_coarse_geo(
+            params_c, mcfg_c,
+            lambda d: dvgo.activate_density(params_c, mcfg_c, d),
+            cfg.fine_model_and_render.bbox_thres,
+        )
+        coarse_mask = None  # TODO: derive fine mask_cache from coarse ckpt
+
+    family, mcfg, params, psnr = scene_rep_reconstruction(
+        cfg, cfg.fine_model_and_render, cfg.fine_train,
+        xyz_min_f, xyz_max_f, data_dict, stage="fine",
+        seed=seed, log_fn=log_fn,
+    )
+    return family, mcfg, params, psnr

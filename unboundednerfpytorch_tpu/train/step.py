@@ -1,0 +1,167 @@
+"""The single jitted train step (L6 hot loop).
+
+The reference drives its loop from Python with dozens of kernel launches per
+iteration (``/root/reference/FourierGrid/run_train.py:185-296``). Here the
+entire body — render forward, loss assembly, backward, TV gradient injection,
+masked-Adam update, lr decay — is ONE jitted function; pg_scale boundaries
+and fast_color_thres schedule changes are re-jit boundaries handled by the
+driver (:mod:`unboundednerfpytorch_tpu.train.loop`).
+
+The TV schedule gates (tv_every/tv_after/tv_before) and the dense/sparse TV
+mode are evaluated on the traced step counter with `where`-selects, so no
+retrace happens per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from unboundednerfpytorch_tpu.configs.schema import TrainStageConfig
+from unboundednerfpytorch_tpu.models.common import RenderResult
+from unboundednerfpytorch_tpu.ops import losses as L
+from unboundednerfpytorch_tpu.ops import tv as tv_ops
+from unboundednerfpytorch_tpu.optim import factory, masked_adam
+
+
+@struct.dataclass
+class TrainState:
+    params: Any  # full model params pytree
+    opt_state: masked_adam.MaskedAdamState
+    step: jnp.ndarray  # scalar int32 global step
+    per_lr: Any = None  # optional {group: per-element lr pytree}
+
+
+def create_train_state(params, train_cfg: TrainStageConfig, start_step: int = 0) -> TrainState:
+    trainable, _ = factory.split_trainable(params, train_cfg)
+    return TrainState(
+        params=params,
+        opt_state=factory.init_state(trainable),
+        step=jnp.asarray(start_step, jnp.int32),
+        per_lr=None,
+    )
+
+
+def make_train_step(
+    forward_fn: Callable[..., RenderResult],
+    train_cfg: TrainStageConfig,
+    *,
+    n_rand: int | None = None,
+    world_size_max: float = 128.0,
+    near_thres: float = 0.0,
+    donate: bool = True,
+):
+    """Build the jitted step.
+
+    Args:
+      forward_fn: (params, rays_o, rays_d, viewdirs, key) -> RenderResult.
+        Close over the static model config and render kwargs.
+      train_cfg: stage training config (loss weights, lrs, tv schedule).
+      world_size_max: max(model world_size) — the TV weight multiplier
+        ``weight * world_size.max()/128`` (dvgo.py:279-285).
+      near_thres: near-clip threshold in contracted units (0 disables).
+    """
+
+    def loss_fn(trainable, frozen_params, batch, key):
+        params = factory.merge_trainable(frozen_params, trainable)
+        res: RenderResult = forward_fn(
+            params, batch["rays_o"], batch["rays_d"], batch["viewdirs"], key,
+            batch.get("img_index"),
+        )
+        target = batch["rgb"]
+        n_rays = target.shape[0]
+
+        mse_loss = L.mse(res.rgb_marched, target)
+        loss = train_cfg.weight_main * mse_loss
+        if train_cfg.weight_freq > 0:
+            loss = loss + train_cfg.weight_freq * L.fourier_mse(res.rgb_marched, target)
+        if train_cfg.weight_entropy_last > 0:
+            loss = loss + train_cfg.weight_entropy_last * L.entropy_last(res.alphainv_last)
+        if train_cfg.weight_nearclip > 0 and near_thres > 0:
+            loss = loss + train_cfg.weight_nearclip * L.nearclip(
+                res.raw_density, res.t, near_thres
+            )
+        if train_cfg.weight_distortion > 0:
+            loss = loss + train_cfg.weight_distortion * L.distortion(
+                res.weights, res.s, res.n_max, mask=res.mask
+            )
+        if train_cfg.weight_rgbper > 0:
+            loss = loss + train_cfg.weight_rgbper * L.rgbper(
+                res.raw_rgb, target, res.weights, n_rays, mask=res.mask
+            )
+        psnr = L.mse2psnr(jax.lax.stop_gradient(mse_loss))
+        return loss, {"loss": loss, "mse": mse_loss, "psnr": psnr}
+
+    def add_tv_grads(grads: dict, trainable: dict, step, n_rays):
+        """TV gradient injection between backward and the optimizer step
+        (run_train.py:281-287)."""
+        gate = (
+            (step < train_cfg.tv_before)
+            & (step > train_cfg.tv_after)
+            & (step % train_cfg.tv_every == 0)
+        )
+        dense = step < train_cfg.tv_dense_before
+        for name, weight in (
+            ("density", train_cfg.weight_tv_density),
+            ("k0", train_cfg.weight_tv_k0),
+        ):
+            if weight <= 0 or name not in grads:
+                continue
+            sub = trainable[name]
+            if not hasattr(sub, "grid"):
+                continue  # TensoRF TV handled separately (loss-based)
+            w = weight / n_rays * world_size_max / 128.0
+            g = grads[name].grid
+            tvg = tv_ops.total_variation_grad(sub.grid, w, w, w, dense_mode=True)
+            keep = dense | (g != 0)
+            tvg = jnp.where(keep, tvg, 0.0) * gate.astype(g.dtype)
+            grads[name] = grads[name].replace(grid=g + tvg)
+        return grads
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        trainable, hyper = factory.split_trainable(state.params, train_cfg)
+        frozen = state.params
+        step = state.step + 1  # reference counts global_step from 1
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, batch, key
+        )
+        n_rays = batch["rgb"].shape[0]
+        grads = add_tv_grads(dict(grads), trainable, step, n_rays)
+
+        lr_scale = factory.lr_decay_scale(
+            step.astype(jnp.float32), train_cfg.lrate_decay
+        )
+        new_trainable, new_opt = masked_adam.update(
+            trainable, grads, state.opt_state, hyper,
+            lr_scale=lr_scale, per_lr=state.per_lr,
+        )
+        new_params = factory.merge_trainable(state.params, new_trainable)
+        return (
+            state.replace(params=new_params, opt_state=new_opt, step=step),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_sampled_step(train_step, n_rand: int, donate: bool = True):
+    """Fuse device-side batch sampling with the step: one XLA program per
+    iteration. Gathers a random ray batch from the (device-resident) ray
+    store — the 'random' sampler semantics of run_train.py:204-240 — then
+    runs the step. The store is passed as an argument so it is never baked
+    into the executable."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def sampled_step(state: TrainState, store: dict, key: jax.Array):
+        k_idx, k_step = jax.random.split(key)
+        n_total = store["rgb"].shape[0]
+        idx = jax.random.randint(k_idx, (n_rand,), 0, n_total)
+        batch = {k: v[idx] for k, v in store.items() if v is not None}
+        return train_step(state, batch, k_step)
+
+    return sampled_step
