@@ -46,18 +46,23 @@ def main() -> None:
     def render_chunk(params, ro, rd, vd):
         return fg.forward(params, cfg, ro, rd, vd, bg=1.0).rgb_marched
 
-    key = jax.random.PRNGKey(1)
-    ro = jax.random.uniform(key, (chunk, 3), minval=1.5, maxval=3.0)
-    rd = -ro
-    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-
-    render_chunk(params, ro, rd, vd).block_until_ready()  # compile
-
+    # Pre-generate distinct ray chunks: identical repeated executions can be
+    # memoized by the runtime and would fake the timing.
     n_iters = max(1, int(800 * 800 / chunk))  # one 800x800 image worth of rays
+    keys = jax.random.split(jax.random.PRNGKey(1), n_iters)
+    chunks = []
+    for k in keys:
+        ro = jax.random.uniform(k, (chunk, 3), minval=1.5, maxval=3.0)
+        rd = -ro
+        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        chunks.append((ro, rd, vd))
+    jax.block_until_ready(chunks)
+
+    render_chunk(params, *chunks[0]).block_until_ready()  # compile
+
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = render_chunk(params, ro, rd, vd)
-    out.block_until_ready()
+    outs = [render_chunk(params, *c) for c in chunks]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     rays_per_s = n_iters * chunk / dt

@@ -1,0 +1,6 @@
+_base_ = './lf_default.py'
+
+expname = 'fouriergrid_lf_statue'
+model = 'FourierGrid'
+
+data = dict(datadir='./data/lf_data/statue')

@@ -1,0 +1,9 @@
+_base_ = '../waymo/waymo_base.py'
+
+expname = 'fouriergrid_mega_building'
+basedir = './logs/mega'
+
+data = dict(
+    dataset_type='mega',
+    datadir='./data/mega/building',
+)

@@ -1,14 +1,20 @@
-"""Test environment: force an 8-device virtual CPU platform so sharding tests
-run without TPU hardware, per the driver contract."""
+"""Test environment: force the virtual 8-device CPU platform.
+
+Gotcha: this machine's sitecustomize imports jax at interpreter startup (the
+axon TPU plugin), so setting JAX_PLATFORMS via os.environ here is too late —
+jax.config already read the env. Use jax.config.update instead (valid until
+the first backend is initialized). XLA_FLAGS is still read at backend
+creation, so the host-device-count flag can be appended here.
+"""
 
 import os
 
-# Force-override: the session env pins JAX_PLATFORMS=axon (the TPU tunnel);
-# tests must run on the virtual 8-device CPU platform.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,204 @@
+"""Golden tests: TV gradient, ray sampling, distortion loss, maskcache,
+cumdist — against direct numpy emulations of the reference CUDA semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unboundednerfpytorch_tpu.ops import losses as L
+from unboundednerfpytorch_tpu.ops import sampling, tv
+
+
+# ---------------------------------------------------------------------------
+# TV gradient (total_variation_kernel.cu:13-35, weights /6 at :45-47)
+# ---------------------------------------------------------------------------
+
+def np_tv_grad(param, wx, wy, wz, dense_mode, grad):
+    """Direct per-voxel emulation on [X,Y,Z,C]."""
+    X, Y, Z, C = param.shape
+    wx, wy, wz = wx / 6, wy / 6, wz / 6
+    out = np.zeros_like(param)
+    clamp = lambda v: np.clip(v, -1.0, 1.0)
+    for i in range(X):
+        for j in range(Y):
+            for k in range(Z):
+                for c in range(C):
+                    if not dense_mode and grad[i, j, k, c] == 0:
+                        continue
+                    p = param[i, j, k, c]
+                    acc = 0.0
+                    if k > 0:
+                        acc += wz * clamp(p - param[i, j, k - 1, c])
+                    if k < Z - 1:
+                        acc += wz * clamp(p - param[i, j, k + 1, c])
+                    if j > 0:
+                        acc += wy * clamp(p - param[i, j - 1, k, c])
+                    if j < Y - 1:
+                        acc += wy * clamp(p - param[i, j + 1, k, c])
+                    if i > 0:
+                        acc += wx * clamp(p - param[i - 1, j, k, c])
+                    if i < X - 1:
+                        acc += wx * clamp(p - param[i + 1, j, k, c])
+                    out[i, j, k, c] = acc
+    return out
+
+
+@pytest.mark.parametrize("dense", [True, False])
+def test_tv_grad_matches_reference(dense):
+    rng = np.random.RandomState(0)
+    param = (rng.randn(5, 4, 6, 2) * 2).astype(np.float32)
+    grad = rng.randn(5, 4, 6, 2).astype(np.float32)
+    grad[rng.rand(5, 4, 6, 2) > 0.6] = 0.0
+    ref = np_tv_grad(param, 0.3, 0.5, 0.7, dense, grad)
+    got = tv.total_variation_grad(
+        jnp.asarray(param), 0.3, 0.5, 0.7, dense,
+        existing_grad=None if dense else jnp.asarray(grad),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Bounded ray sampling (sample_pts_on_rays_cuda)
+# ---------------------------------------------------------------------------
+
+def test_sample_pts_on_rays_matches_sequential():
+    rng = np.random.RandomState(1)
+    n = 32
+    rays_o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    rays_d = rng.randn(n, 3).astype(np.float32)
+    xyz_min = np.array([-1.0, -1.2, -0.8], np.float32)
+    xyz_max = np.array([1.0, 0.9, 1.1], np.float32)
+    near, stepdist = 0.2, 0.11
+
+    # numpy emulation of the CUDA pipeline
+    vec = np.where(rays_d == 0, 1e-6, rays_d)
+    rate_a = (xyz_max - rays_o) / vec
+    rate_b = (xyz_min - rays_o) / vec
+    t_min = np.clip(np.minimum(rate_a, rate_b).max(-1), near, 1e9)
+    t_max = np.clip(np.maximum(rate_a, rate_b).min(-1), near, 1e9)
+    rnorm = np.linalg.norm(rays_d, axis=-1)
+    n_steps = np.maximum(np.ceil((t_max - t_min) * rnorm / stepdist), 1)
+    start = rays_o + rays_d * t_min[:, None]
+    dirn = rays_d / rnorm[:, None]
+
+    S = int(n_steps.max()) + 2
+    out = sampling.sample_pts_on_rays(
+        jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(xyz_min), jnp.asarray(xyz_max), near, stepdist, S,
+    )
+    pts = np.asarray(out.pts)
+    mask = np.asarray(out.mask)
+    for r in range(n):
+        for s in range(S):
+            in_count = s < n_steps[r]
+            p_ref = start[r] + dirn[r] * stepdist * s
+            if in_count:
+                np.testing.assert_allclose(pts[r, s], p_ref, rtol=2e-4, atol=2e-5)
+                inb = np.all((p_ref >= xyz_min - 1e-6) & (p_ref <= xyz_max + 1e-6))
+                if mask[r, s] != inb:
+                    # borderline float disagreement allowed only at the bbox edge
+                    d = np.minimum(np.abs(p_ref - xyz_min), np.abs(p_ref - xyz_max)).min()
+                    assert d < 1e-4
+            else:
+                assert not mask[r, s]
+
+
+# ---------------------------------------------------------------------------
+# Contraction (FourierGrid_model.py:534-548)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("norm_type", ["inf", "l2"])
+def test_contract(norm_type):
+    rng = np.random.RandomState(2)
+    pts = (rng.randn(100, 3) * 2).astype(np.float32)
+    bg_len = 0.2
+    got, inner = sampling.contract(jnp.asarray(pts), bg_len, norm_type)
+    if norm_type == "inf":
+        norm = np.abs(pts).max(-1, keepdims=True)
+    else:
+        norm = np.linalg.norm(pts, axis=-1, keepdims=True)
+    B = 1 + bg_len
+    ref = np.where(norm <= 1, pts, pts / norm * (B - bg_len / norm))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(inner), (norm <= 1)[:, 0])
+    # contracted points stay inside the [-B, B] cube (inf norm)
+    if norm_type == "inf":
+        assert np.abs(np.asarray(got)).max() <= B + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# cumdist threshold (ub360_utils_kernel.cu:12-32)
+# ---------------------------------------------------------------------------
+
+def test_cumdist_thres_matches_sequential():
+    rng = np.random.RandomState(3)
+    dist = rng.rand(8, 30).astype(np.float32) * 0.1
+    thres = 0.15
+    ref = np.zeros_like(dist, dtype=bool)
+    for r in range(8):
+        cum = 0.0
+        for i in range(30):
+            cum += dist[r, i]
+            over = cum > thres
+            if over:
+                cum = 0.0
+            ref[r, i] = over
+    got = sampling.cumdist_thres(jnp.asarray(dist), thres)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+# ---------------------------------------------------------------------------
+# maskcache nearest lookup (render_utils_kernel.cu:363-424)
+# ---------------------------------------------------------------------------
+
+def test_maskcache_lookup():
+    rng = np.random.RandomState(4)
+    mask = rng.rand(6, 5, 7) > 0.5
+    xyz_min = np.array([-1.0, -1.0, -1.0])
+    xyz_max = np.array([1.0, 1.0, 1.0])
+    scale = (np.array(mask.shape) - 1) / (xyz_max - xyz_min)
+    shift = -xyz_min * scale
+    xyz = rng.uniform(-1.4, 1.4, (200, 3)).astype(np.float32)
+    got = sampling.maskcache_lookup(
+        jnp.asarray(mask), jnp.asarray(xyz), jnp.asarray(scale, jnp.float32),
+        jnp.asarray(shift, jnp.float32),
+    )
+    for p, g in zip(xyz, np.asarray(got)):
+        ijk = np.round(p * scale + shift).astype(int)
+        if np.all((ijk >= 0) & (ijk < mask.shape)):
+            assert g == mask[tuple(ijk)]
+        else:
+            assert not g
+
+
+# ---------------------------------------------------------------------------
+# Distortion loss: prefix form vs O(S^2) definition
+# ---------------------------------------------------------------------------
+
+def test_distortion_matches_quadratic_form():
+    rng = np.random.RandomState(5)
+    w = rng.rand(6, 20).astype(np.float32) * 0.1
+    s = np.sort(rng.rand(6, 20).astype(np.float32), axis=-1)
+    n_max = 20
+    ref = 0.0
+    for r in range(6):
+        bi = 0.0
+        for i in range(20):
+            for j in range(20):
+                bi += w[r, i] * w[r, j] * abs(s[r, i] - s[r, j])
+        uni = (1 / 3) * (1 / n_max) * np.sum(w[r] ** 2)
+        ref += bi + uni
+    ref /= 6
+    got = L.distortion(jnp.asarray(w), jnp.asarray(s), n_max)
+    np.testing.assert_allclose(float(got), ref, rtol=1e-4)
+
+
+def test_fourier_mse_matches_numpy_fft():
+    rng = np.random.RandomState(6)
+    a = rng.rand(50, 3).astype(np.float32)
+    b = rng.rand(50, 3).astype(np.float32)
+    ref = np.mean((np.fft.fft(a, axis=-1).real - np.fft.fft(b, axis=-1).real) ** 2)
+    got = L.fourier_mse(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(float(got), ref, rtol=1e-4)

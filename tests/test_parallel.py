@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh: the train
+step under DP sharding must produce bitwise-consistent results with the
+single-device step, and the graft dryrun must execute."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unboundednerfpytorch_tpu.parallel import mesh as mesh_mod
+
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_8
+def test_mesh_shapes():
+    m1 = mesh_mod.make_mesh(8)
+    assert dict(m1.shape) == {"data": 8}
+    m2 = mesh_mod.make_mesh(8, grid_parallel=2)
+    assert dict(m2.shape) == {"data": 4, "grid": 2}
+
+
+@needs_8
+def test_dp_step_matches_single_device():
+    from unboundednerfpytorch_tpu.configs.schema import TrainStageConfig
+    from unboundednerfpytorch_tpu.models import dvgo
+    from unboundednerfpytorch_tpu.train.step import create_train_state, make_train_step
+
+    cfg = dvgo.DVGOConfig(
+        xyz_min=(-1, -1, -1), xyz_max=(1, 1, 1),
+        num_voxels=12**3, num_voxels_base=12**3, rgbnet_dim=4, alpha_init=1e-2,
+    )
+    params = dvgo.create(cfg, jax.random.PRNGKey(0))
+    tc = TrainStageConfig(
+        N_rand=32, pervoxel_lr=False, skip_zero_grad_fields=("density", "k0"),
+        weight_entropy_last=0.001, weight_rgbper=0.01,
+    )
+
+    def fwd(p, ro, rd, vd, key, img_index=None):
+        return dvgo.forward(p, cfg, ro, rd, vd, near=0.5, stepsize=0.5, bg=1.0)
+
+    step = make_train_step(fwd, tc, world_size_max=12.0, donate=False)
+
+    n = 32
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "rgb": jax.random.uniform(key, (n, 3)),
+        "rays_o": jnp.ones((n, 3)) * 2,
+        "rays_d": -jnp.ones((n, 3)) + 0.1 * jax.random.normal(key, (n, 3)),
+        "viewdirs": -jnp.ones((n, 3)) / np.sqrt(3),
+    }
+
+    state = create_train_state(params, tc)
+    s1, m1 = jax.jit(step)(state, batch, key)
+
+    mesh = mesh_mod.make_mesh(8)
+    state_sh = create_train_state(params, tc)
+    state_sh = state_sh.replace(params=mesh_mod.shard_params(mesh, state_sh.params))
+    batch_sh = mesh_mod.shard_batch(mesh, batch)
+    with mesh:
+        s2, m2 = jax.jit(step)(state_sh, batch_sh, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params.density.grid),
+        np.asarray(s2.params.density.grid),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+@needs_8
+@pytest.mark.slow
+def test_graft_dryrun_multichip():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,122 @@
+"""CLI driver (L7).
+
+Re-implements ``/root/reference/run_FourierGrid.py``: argparse surface,
+config load, seeding, block-count computation, and program dispatch
+(train | render | export_bbox | export_coarse | gen_trace). ``sfm`` and
+``tune_pose`` are accepted-but-unimplemented, matching the reference
+(run_FourierGrid.py:122-123).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="unboundednerfpytorch_tpu driver")
+    p.add_argument("--config", required=True, help="scene config file path")
+    p.add_argument(
+        "--program",
+        default="train",
+        choices=[
+            "export_bbox",
+            "export_coarse",
+            "render",
+            "train",
+            "gen_trace",
+            "sfm",
+            "tune_pose",
+        ],
+    )
+    p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--sample_num", type=int, default=-1,
+                   help="truncate dataset for fast debugging")
+    p.add_argument("--num_per_block", type=int, default=-1,
+                   help="images per block for block training")
+    p.add_argument("--running_block_id", type=int, default=-1)
+    p.add_argument("--no_reload", action="store_true")
+    p.add_argument("--ft_path", default="")
+    p.add_argument("--export_cam", action="store_true")
+    p.add_argument("--export_geometry", action="store_true")
+    p.add_argument("--render_train", action="store_true")
+    p.add_argument("--render_test", action="store_true")
+    p.add_argument("--render_video", action="store_true")
+    p.add_argument("--eval_ssim", action="store_true", default=True)
+    p.add_argument("--eval_lpips", action="store_true")
+    p.add_argument("--i_print", type=int, default=500)
+    p.add_argument("--dump_images", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from unboundednerfpytorch_tpu.configs.loader import load_config
+    from unboundednerfpytorch_tpu.data.common import load_everything
+
+    cfg = load_config(args.config)
+    np.random.seed(args.seed)
+
+    data_dict = load_everything(cfg, sample_num=args.sample_num)
+
+    # block count (run_FourierGrid.py:101-103)
+    block_num = 1
+    if args.num_per_block > 0:
+        block_num = max(1, len(data_dict["i_train"]) // args.num_per_block)
+
+    exp_dir = os.path.join(cfg.basedir, cfg.expname)
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "args.txt"), "w") as f:
+        for k in sorted(vars(args)):
+            f.write(f"{k} = {getattr(args, k)}\n")
+
+    if args.program == "train":
+        from unboundednerfpytorch_tpu.train import loop
+        from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
+
+        family, mcfg, params, psnr = loop.run_train(cfg, data_dict, seed=args.seed)
+        ckpt.save_model(os.path.join(exp_dir, "fine_last"), family, mcfg, params)
+        print(f"train finished: psnr {psnr:.2f}")
+        args.program = "render"  # the reference always renders after training
+
+    if args.program == "render":
+        from unboundednerfpytorch_tpu.render import run_render
+
+        run_render(args, cfg, data_dict, exp_dir)
+        return 0
+    if args.program == "export_bbox":
+        from unboundednerfpytorch_tpu.train import bbox as bbox_mod
+        from unboundednerfpytorch_tpu.train.loop import model_family_name
+
+        xyz_min, xyz_max = bbox_mod.compute_bbox_by_cam_frustrm(
+            cfg, data_dict, model_family_name(cfg)
+        )
+        out = os.path.join(exp_dir, "cam.npz")
+        np.savez_compressed(
+            out,
+            xyz_min=np.asarray(xyz_min),
+            xyz_max=np.asarray(xyz_max),
+            poses=np.asarray(data_dict["poses"]),
+        )
+        print(f"exported bbox+cams to {out}")
+        return 0
+    if args.program == "export_coarse":
+        from unboundednerfpytorch_tpu.render import export_coarse_geometry
+
+        export_coarse_geometry(cfg, exp_dir)
+        return 0
+    if args.program == "gen_trace":
+        out = os.path.join(exp_dir, "render_poses.json")
+        with open(out, "w") as f:
+            json.dump(np.asarray(data_dict["render_poses"]).tolist(), f)
+        print(f"wrote camera trace to {out}")
+        return 0
+    raise NotImplementedError(f"program {args.program} is not implemented")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -162,7 +162,18 @@ def _freeze(value):
 
 def _build(cls, d: dict):
     names = {f.name for f in dataclasses.fields(cls)}
+    d = dict(d)
+    # A dict-valued fast_color_thres is the step-keyed schedule
+    # (garden_single.py:12-21) — route it to the schedule field (pulled out
+    # first so the default empty schedule key can't clobber it).
+    fct = d.get("fast_color_thres")
     kwargs = {}
+    if isinstance(fct, dict):
+        sched = {int(s): t for s, t in fct.items() if s != "_delete_"}
+        kwargs["fast_color_thres_schedule"] = tuple(sorted(sched.items()))
+        kwargs["fast_color_thres"] = sched.get(0, 0.0)
+        d.pop("fast_color_thres")
+        d.pop("fast_color_thres_schedule", None)
     for k, v in d.items():
         if k not in names:
             continue  # tolerate unknown keys like the reference's mmengine

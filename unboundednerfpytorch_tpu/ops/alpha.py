@@ -90,24 +90,27 @@ def alpha2weights_flat(
     (sorted, contiguous segments). Uses a segment-aware scan; prefer the
     fixed-shape :func:`alpha2weights` on TPU.
     """
-    # Segment-exclusive cumprod of (1 - alpha) via log-space segment cumsum.
+    m = alpha.shape[0]
+    # Segment-exclusive cumprod of (1 - alpha) via log-space cumsum rebased at
+    # each segment start: excl_i = cum_{i-1} - cum_{start(r)-1}.
     log1m = jnp.log(jnp.clip(1.0 - alpha, 1e-10, None))
     cum = jnp.cumsum(log1m)
-    seg_start_cum = jax.ops.segment_min(
-        jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]]),
-        ray_id,
-        num_segments=n_rays,
-    )
-    t_excl = jnp.exp(
-        jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]]) - seg_start_cum[ray_id]
-    )
+    prev = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+    first_idx = jax.ops.segment_min(
+        jnp.arange(m), ray_id, num_segments=n_rays
+    )  # index of each segment's first element (segments are contiguous)
+    base = prev[jnp.clip(first_idx, 0, m - 1)]
+    t_excl = jnp.exp(prev - base[ray_id])
+    t_incl = jnp.exp(cum - base[ray_id])
+
     processed = t_excl >= EARLY_EXIT_T
     weights = t_excl * alpha * processed.astype(alpha.dtype)
-    t_incl = jnp.exp(cum - seg_start_cum[ray_id])
-    stopped = ~processed
-    # alphainv_last per ray: min T among processed-extent (see fixed-shape ver).
-    t_candidate = jnp.where(stopped, t_excl, t_incl)
-    alphainv_last = jax.ops.segment_min(t_candidate, ray_id, num_segments=n_rays)
+    # alphainv_last = T at loop exit = min inclusive-T over processed samples
+    # (T is monotone decreasing; unprocessed samples never update T).
+    t_masked = jnp.where(processed, t_incl, jnp.inf)
+    alphainv_last = jax.ops.segment_min(t_masked, ray_id, num_segments=n_rays)
     empty = jax.ops.segment_sum(jnp.ones_like(alpha), ray_id, num_segments=n_rays) == 0
-    alphainv_last = jnp.where(empty, 1.0, alphainv_last)
+    alphainv_last = jnp.where(
+        empty | ~jnp.isfinite(alphainv_last), 1.0, alphainv_last
+    )
     return weights, alphainv_last

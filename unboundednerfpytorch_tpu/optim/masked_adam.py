@@ -31,6 +31,34 @@ class AdamHyper(NamedTuple):
     skip_zero_grad: bool = False
 
 
+class _NoPerLR:
+    """Zero-leaf pytree sentinel marking 'no per-element lr' positions, so a
+    sparse per_lr tree can share the params' structure under jit."""
+
+    def __repr__(self):  # pragma: no cover
+        return "NO_PER_LR"
+
+
+jax.tree_util.register_pytree_node(
+    _NoPerLR, lambda x: ((), None), lambda aux, ch: NO_PER_LR
+)
+NO_PER_LR = _NoPerLR()
+
+
+def make_per_lr(trainable, group_trees: dict):
+    """Build a per_lr pytree matching ``trainable``: for groups named in
+    ``group_trees`` use the given subtree (same structure as the group, array
+    leaves = per-element lr, e.g. normalized view counts for the density
+    grid); everywhere else NO_PER_LR."""
+    out = {}
+    for name, sub in trainable.items():
+        if name in group_trees:
+            out[name] = group_trees[name]
+        else:
+            out[name] = jax.tree.map(lambda _: NO_PER_LR, sub)
+    return out
+
+
 class MaskedAdamState(NamedTuple):
     step: jnp.ndarray  # scalar int32
     exp_avg: Any  # pytree matching params
@@ -88,6 +116,8 @@ def update(
     for p, g, m, v, h, plr in zip(
         param_leaves, grad_leaves, m_leaves, v_leaves, hyper_leaves, plr_leaves
     ):
+        if isinstance(plr, _NoPerLR):
+            plr = None
         step_size = h.lr * lr_scale * bias_corr
         if h.skip_zero_grad and plr is None:
             mask = g != 0

@@ -1,1 +1,109 @@
-"""render subpackage."""
+"""Rendering & evaluation (L6)."""
+
+from unboundednerfpytorch_tpu.render.renderer import (
+    depth_to_vis,
+    render_image,
+    render_viewpoints,
+)
+
+
+def run_render(args, cfg, data_dict, exp_dir: str) -> None:
+    """Post-train render program (run_render.py:117-316): load fine_last,
+    render train/test/video splits, dump pngs + metrics."""
+    import os
+
+    import numpy as np
+
+    from unboundednerfpytorch_tpu.train.loop import make_forward
+    from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
+    from unboundednerfpytorch_tpu.utils import metrics as M
+
+    path = os.path.join(exp_dir, "fine_last")
+    family, mcfg, params, _, _ = ckpt.load_model(path)
+    render_kwargs = {
+        "near": float(data_dict["near"]),
+        "far": float(data_dict["far"]),
+        "bg": 1.0 if cfg.data.white_bkgd else 0.0,
+        "stepsize": cfg.fine_model_and_render.stepsize,
+    }
+    fwd_core = make_forward(family, mcfg, render_kwargs)
+    fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None)
+
+    splits = []
+    if getattr(args, "render_train", False):
+        splits.append(("train", data_dict["i_train"]))
+    if getattr(args, "render_test", True) or not splits:
+        splits.append(("test", data_dict["i_test"]))
+
+    for name, idx in splits:
+        idx = np.asarray(idx)
+        if idx.size == 0:
+            continue
+        out = render_viewpoints(
+            fwd,
+            poses=np.asarray(data_dict["poses"])[idx],
+            HW=np.asarray(data_dict["HW"])[idx],
+            Ks=np.asarray(data_dict["Ks"])[idx],
+            gt_imgs=(
+                np.asarray(data_dict["images"])[idx]
+                if data_dict.get("images") is not None
+                else None
+            ),
+            ndc=cfg.data.ndc,
+            inverse_y=cfg.data.inverse_y,
+            flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y,
+            eval_lpips=getattr(args, "eval_lpips", False),
+        )
+        if getattr(args, "dump_images", False):
+            import imageio.v2 as imageio
+
+            outdir = os.path.join(exp_dir, f"render_{name}")
+            os.makedirs(outdir, exist_ok=True)
+            for i, rgb in enumerate(out["rgbs"]):
+                imageio.imwrite(
+                    os.path.join(outdir, f"{i:03d}.png"), M.to8b(rgb)
+                )
+                imageio.imwrite(
+                    os.path.join(outdir, f"{i:03d}_depth.png"),
+                    depth_to_vis(out["depths"][i]),
+                )
+        if out["psnrs"]:
+            print(f"{name}: psnr {np.mean(out['psnrs']):.2f}")
+
+
+def export_coarse_geometry(cfg, exp_dir: str) -> None:
+    """Coarse alpha/rgb volume export (run_export_coarse.py:7-20)."""
+    import os
+
+    import numpy as np
+    import jax
+
+    from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
+
+    path = os.path.join(exp_dir, "coarse_last")
+    if not os.path.exists(path):
+        path = os.path.join(exp_dir, "fine_last")
+    family, mcfg, params, _, _ = ckpt.load_model(path)
+    import importlib
+
+    mod = importlib.import_module(ckpt._FAMILY_MODULES[family])
+    dense = params.density.get_dense_grid()
+    if dense.ndim == 5:
+        dense = dense.mean(0)
+    alpha = np.asarray(mod.activate_density(params, mcfg, dense[..., 0]))
+    rgb = np.asarray(jax.nn.sigmoid(params.k0.get_dense_grid()))
+    if rgb.ndim == 5:
+        rgb = rgb.mean(0)
+    out = os.path.join(exp_dir, "coarse_volume.npz")
+    np.savez_compressed(out, alpha=alpha, rgb=rgb[..., :3])
+    print(f"exported coarse geometry to {out}")
+
+
+__all__ = [
+    "render_image",
+    "render_viewpoints",
+    "depth_to_vis",
+    "run_render",
+    "export_coarse_geometry",
+]

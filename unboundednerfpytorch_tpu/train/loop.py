@@ -240,10 +240,46 @@ def scene_rep_reconstruction(
     store = gather_training_rays(cfg, data_dict)
     state = create_train_state(params, cfg_train)
 
+    # per-voxel learning rate from view counts (run_train.py:169-180)
+    if cfg_train.pervoxel_lr and family == "dvgo":
+        n_img = len(np.asarray(data_dict["i_train"]))
+        H, W = (int(v) for v in np.asarray(data_dict["HW"])[0])
+        rays_o_v = store["rays_o"].reshape(n_img, H * W, 3)
+        rays_d_v = store["rays_d"].reshape(n_img, H * W, 3)
+        down = max(1, cfg_train.pervoxel_lr_downrate)
+        count = dvgo.voxel_count_views(
+            params, mcfg, rays_o_v[:, ::down], rays_d_v[:, ::down],
+            near=render_kwargs["near"], stepsize=render_kwargs["stepsize"],
+        )
+        from unboundednerfpytorch_tpu.optim import factory as opt_factory
+        from unboundednerfpytorch_tpu.optim.masked_adam import make_per_lr
+
+        per_lr_grid = count / jnp.maximum(count.max(), 1.0)
+        trainable0, _ = opt_factory.split_trainable(state.params, cfg_train)
+        per_lr = make_per_lr(
+            trainable0, {"density": params.density.replace(grid=per_lr_grid)}
+        )
+        state = state.replace(per_lr=per_lr)
+        # voxels seen by <=2 views are masked out (run_train.py:177-180)
+        new_mask = params.mask_cache.mask & (count[..., 0] > 2)
+        params = params.replace(
+            mask_cache=params.mask_cache.replace(mask=new_mask)
+        )
+        state = state.replace(params=params)
+
+    # near-clip loss threshold (run_train.py:262-268): contracted units
+    near_thres = 0.0
+    if cfg_train.weight_nearclip > 0 and data_dict.get("near_clip"):
+        radius = getattr(mcfg, "scene_radius", None)
+        if radius is not None:
+            near_thres = float(data_dict["near_clip"]) / float(radius[0])
+
     def compile_step(mcfg_now, params_now):
         fwd = make_forward(family, mcfg_now, render_kwargs)
         ws_max = float(max(mcfg_now.world_size))
-        core = make_train_step(fwd, cfg_train, world_size_max=ws_max)
+        core = make_train_step(
+            fwd, cfg_train, world_size_max=ws_max, near_thres=near_thres
+        )
         return make_sampled_step(core, cfg_train.N_rand)
 
     step_fn = compile_step(mcfg, params)
@@ -253,8 +289,16 @@ def scene_rep_reconstruction(
     t0 = time.time()
     n_iters = cfg_train.N_iters
     pg_scale = list(cfg_train.pg_scale)
+    # step-keyed fast_color_thres schedule (FourierGrid_model.py:561-564):
+    # a threshold change alters the static config -> re-jit boundary.
+    thres_schedule = dict(cfg_model.fast_color_thres_schedule or ())
 
     for global_step in range(1, n_iters + 1):
+        if global_step in thres_schedule and hasattr(mcfg, "fast_color_thres"):
+            new_thres = float(thres_schedule[global_step])
+            if new_thres != mcfg.fast_color_thres:
+                mcfg = dataclasses.replace(mcfg, fast_color_thres=new_thres)
+                step_fn = compile_step(mcfg, state.params)
         if global_step in pg_scale:
             n_rest = len(pg_scale) - pg_scale.index(global_step) - 1
             cur_vox_density = int(cfg_model.num_voxels_density / (2**n_rest))
