@@ -112,6 +112,12 @@ class ModelRenderConfig:
     contracted_norm: str = "inf"
     img_emb_dim: int = -1
     t_boundary: float = 1.5
+    # TPU fast path: fixed per-ray sample budget for occupancy-guided
+    # compaction before expensive grid queries (0 = off / full parity).
+    sample_budget: int = 0
+    # Grid parameter dtype ("float32" | "bfloat16"); bf16 halves the HBM
+    # bandwidth of the trilinear gathers on the hot path.
+    grid_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

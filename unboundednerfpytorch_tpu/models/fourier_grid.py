@@ -51,6 +51,10 @@ class FourierGridConfig:
     mask_cache_world_size: tuple | None = None
     stepsize: float = 0.5
     t_boundary: float = 1.5  # waymo default; 2.0 elsewhere (model:524)
+    # TPU fast path: compact to a fixed per-ray sample budget using the
+    # occupancy cache before the expensive Fourier-bank queries (0 = off).
+    # Replaces the reference's dynamic-shape compaction (SURVEY.md §7.3).
+    sample_budget: int = 0
 
     @property
     def xyz_min(self) -> tuple:
@@ -157,6 +161,7 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         sample_num=sample_num,
         stepsize=cfg_model.stepsize,
         t_boundary=cfg_model.t_boundary,
+        sample_budget=getattr(cfg_model, "sample_budget", 0),
     )
 
 
@@ -250,7 +255,20 @@ def forward(
 
     pts, inner, t = sample_ray(cfg, rays_o, rays_d)
     S = pts.shape[1]
+    n_max = S
+    t2 = jnp.broadcast_to(t, (N, S))
     mask = jnp.ones((N, S), dtype=bool)  # reference keeps all samples (:587-589)
+
+    if cfg.sample_budget > 0 and cfg.sample_budget < S:
+        # occupancy-guided fixed-budget compaction: gather only the first
+        # `budget` occupied samples per ray for the expensive bank queries
+        pre = params.mask_cache(pts)
+        sel, sel_mask = sampling.compact_samples(pre, cfg.sample_budget)
+        pts = sampling.gather_samples(pts, sel)
+        t2 = sampling.gather_samples(t2, sel)
+        inner = sampling.gather_samples(inner, sel)
+        mask = sel_mask
+        S = cfg.sample_budget
 
     density = params.density(pts)[..., 0]
     alpha = activate_density(params, cfg, density, interval)
@@ -285,7 +303,6 @@ def forward(
     else:
         rgb_marched = common.composite(weights, rgb, alphainv_last, bg)
 
-    t2 = jnp.broadcast_to(t, (N, S))
     s = 1.0 - 1.0 / (1.0 + t2)
     depth = jnp.sum(weights * s, axis=-1)
 
@@ -300,7 +317,7 @@ def forward(
         t=t2,
         s=s,
         depth=depth,
-        n_max=S,
+        n_max=n_max,
     )
 
 

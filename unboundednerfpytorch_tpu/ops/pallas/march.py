@@ -1,0 +1,233 @@
+"""Fused ray-march Pallas kernel: density → alpha → transmittance scan.
+
+Replaces, in one VMEM-resident pass, the reference CUDA pair
+``raw2alpha`` + ``alpha2weight`` (+ their backwards)
+(``/root/reference/FourierGrid/cuda/render_utils_kernel.cu:430-707``):
+
+  forward  : alpha_i = 1 − exp(−softplus(d_i + shift)·interval) (masked),
+             w_i = T_i·alpha_i with T the exclusive transmittance product and
+             the reference's early-exit (T < 1e-3 stops the march),
+             alphainv_last = ∏_{processed}(1 − alpha_i);
+  backward : the reverse-scan gradient
+             g_i = gw_i·T_i − back_cum_i/(1 − alpha_i), back_cum accumulating
+             gw_j·w_j for j>i plus grad_last·alphainv_last, chained with the
+             analytic raw2alpha derivative.
+
+Layout: rays on sublanes, samples on lanes ([TR, S] tiles); the sequential
+per-ray scan becomes a log₂(S)-step Hillis-Steele product across lanes —
+fully vectorized on the VPU, zero HBM round-trips for the intermediates.
+
+The op is wired as a ``jax.custom_vjp`` and falls back to the pure-XLA
+composition (``ops.alpha``) off-TPU or with ``use_pallas=False``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unboundednerfpytorch_tpu.ops import alpha as alpha_ops
+
+EARLY_EXIT_T = alpha_ops.EARLY_EXIT_T
+_TILE_RAYS = 256
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+
+
+def _incl_cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along the lane (last) axis via
+    Hillis-Steele shifts; identity-filled below the shift."""
+    n = x.shape[-1]
+    col = _lane_iota(x.shape)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, axis=1)
+        x = x * jnp.where(col >= k, shifted, 1.0)
+        k *= 2
+    return x
+
+
+def _incl_cumsum_rev_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive reverse cumulative sum along lanes (suffix sums)."""
+    n = x.shape[-1]
+    col = _lane_iota(x.shape)
+    k = 1
+    while k < n:
+        # left-roll by k == circular right-roll by n-k (pltpu.roll requires
+        # a non-negative shift)
+        shifted = pltpu.roll(x, n - k, axis=1)
+        x = x + jnp.where(col < n - k, shifted, 0.0)
+        k *= 2
+    return x
+
+
+def _fwd_kernel(density_ref, mask_ref, shift_ref, interval_ref,
+                weights_ref, alphainv_ref, alpha_ref, texc_ref):
+    shift = shift_ref[0]
+    interval = interval_ref[0]
+    d = density_ref[:]
+    m = mask_ref[:]
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(d + shift) * interval)
+    alpha = jnp.where(m != 0, alpha, 0.0)
+
+    one_minus = 1.0 - alpha
+    t_incl = _incl_cumprod_lanes(one_minus)
+    col = _lane_iota(d.shape)
+    t_excl = jnp.where(col >= 1, pltpu.roll(t_incl, 1, axis=1), 1.0)
+
+    processed = t_excl >= EARLY_EXIT_T
+    w = t_excl * alpha * processed.astype(d.dtype)
+    # T at exit = product of (1-alpha) over processed samples only
+    alphainv = jnp.prod(jnp.where(processed, one_minus, 1.0), axis=1)
+
+    weights_ref[:] = w
+    alphainv_ref[:] = alphainv[:, None]
+    alpha_ref[:] = alpha
+    texc_ref[:] = t_excl
+
+
+def _bwd_kernel(alpha_ref, texc_ref, alphainv_ref, gw_ref, gl_ref,
+                shift_ref, interval_ref, density_ref, mask_ref,
+                gd_ref):
+    shift = shift_ref[0]
+    interval = interval_ref[0]
+    alpha = alpha_ref[:]
+    t_excl = texc_ref[:]
+    gw = gw_ref[:]
+    gl = gl_ref[:]  # [TR, 1]
+    processed = t_excl >= EARLY_EXIT_T
+    w = t_excl * alpha * processed.astype(alpha.dtype)
+
+    gww = jnp.where(processed, gw * w, 0.0)
+    # back_cum_i = grad_last*alphainv + Σ_{j>i} gw_j w_j  (strict suffix)
+    suffix_incl = _incl_cumsum_rev_lanes(gww)
+    suffix_strict = suffix_incl - gww
+    back_cum = suffix_strict + gl * alphainv_ref[:]
+
+    g_alpha = jnp.where(
+        processed,
+        gw * t_excl - back_cum / (1.0 - alpha + 1e-10),
+        0.0,
+    )
+    # chain through raw2alpha: dalpha/ddensity = interval·(1+e)^(−interval−1)·e
+    d = density_ref[:]
+    e = jnp.exp(jnp.clip(d + shift, -50.0, 50.0))
+    dalpha_dd = interval * jnp.power(1.0 + e, -interval - 1.0) * jnp.minimum(e, 1e10)
+    # masked samples contribute no gradient (their alpha is a constant 0)
+    gd_ref[:] = g_alpha * dalpha_dd * mask_ref[:]
+
+
+def _pad_rays(x, tile):
+    n = x.shape[0]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, n
+
+
+def _fused_forward_impl(density, mask, shift, interval, interpret):
+    n_orig = density.shape[0]
+    density, _ = _pad_rays(density, _TILE_RAYS)
+    mask, _ = _pad_rays(mask.astype(jnp.float32), _TILE_RAYS)
+    n, s = density.shape
+    grid = (n // _TILE_RAYS,)
+    blk = lambda: pl.BlockSpec((_TILE_RAYS, s), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, s), density.dtype),  # weights
+        jax.ShapeDtypeStruct((n, 1), density.dtype),  # alphainv
+        jax.ShapeDtypeStruct((n, s), density.dtype),  # alpha (residual)
+        jax.ShapeDtypeStruct((n, s), density.dtype),  # t_excl (residual)
+    )
+    w, ai, alpha, texc = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[blk(), blk(), scalar, scalar],
+        out_specs=(
+            blk(),
+            pl.BlockSpec((_TILE_RAYS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            blk(),
+            blk(),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        density,
+        mask,
+        jnp.asarray(shift, density.dtype).reshape(1),
+        jnp.asarray(interval, density.dtype).reshape(1),
+    )
+    return w[:n_orig], ai[:n_orig, 0], alpha[:n_orig], texc[:n_orig]
+
+
+def _fused_backward_impl(alpha, texc, alphainv, gw, gl, shift, interval,
+                         density, mask, interpret):
+    n_orig = alpha.shape[0]
+    pads = [_pad_rays(x, _TILE_RAYS)[0] for x in
+            (alpha, texc, gw, density, mask.astype(alpha.dtype))]
+    alpha, texc, gw, density, mask = pads
+    alphainv, _ = _pad_rays(alphainv[:, None], _TILE_RAYS)
+    gl, _ = _pad_rays(gl[:, None], _TILE_RAYS)
+    n, s = alpha.shape
+    grid = (n // _TILE_RAYS,)
+    blk = lambda: pl.BlockSpec((_TILE_RAYS, s), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    col = lambda: pl.BlockSpec((_TILE_RAYS, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    gd = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[blk(), blk(), col(), blk(), col(), scalar, scalar, blk(), blk()],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((n, s), alpha.dtype),
+        interpret=interpret,
+    )(
+        alpha, texc, alphainv, gw, gl,
+        jnp.asarray(shift, alpha.dtype).reshape(1),
+        jnp.asarray(interval, alpha.dtype).reshape(1),
+        density, mask,
+    )
+    return gd[:n_orig]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_alpha2weights(density, mask, shift, interval, interpret=False):
+    """Fused raw2alpha + transmittance scan.
+
+    density [N, S] raw grid values; mask [N, S] live samples.
+    Returns (weights [N, S], alphainv_last [N], alpha [N, S]).
+    Differentiable w.r.t. density (the reference treats shift/interval as
+    constants too — Raw2Alpha.backward returns None for them).
+    """
+    w, ai, alpha, _ = _fused_forward_impl(density, mask, shift, interval, interpret)
+    return w, ai, alpha
+
+
+def _fused_fwd(density, mask, shift, interval, interpret):
+    w, ai, alpha, texc = _fused_forward_impl(density, mask, shift, interval, interpret)
+    return (w, ai, alpha), (alpha, texc, ai, density, shift, interval, mask)
+
+
+def _fused_bwd(interpret, res, cots):
+    alpha, texc, ai, density, shift, interval, mask = res
+    gw, gl, galpha_direct = cots
+    # alpha output cotangent folds into the density grad analytically
+    gd = _fused_backward_impl(
+        alpha, texc, ai, gw, gl, shift, interval, density, mask, interpret
+    )
+    if galpha_direct is not None:
+        e = jnp.exp(jnp.clip(density + shift, -50.0, 50.0))
+        dalpha_dd = interval * jnp.power(1.0 + e, -interval - 1.0) * jnp.minimum(e, 1e10)
+        gd = gd + galpha_direct * dalpha_dd * mask.astype(gd.dtype)
+    return gd, None, None, None
+
+
+fused_alpha2weights.defvjp(_fused_fwd, _fused_bwd)

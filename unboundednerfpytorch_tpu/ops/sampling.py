@@ -218,6 +218,55 @@ def cumdist_thres(dist: jnp.ndarray, thres: float) -> jnp.ndarray:
     return mask.T
 
 
+def compact_samples(
+    mask: jnp.ndarray,
+    budget: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-budget sample compaction — the TPU answer to the reference's
+    dynamic-shape fast_color_thres/maskcache gathers (SURVEY.md §7.3).
+
+    Given a live-sample mask [N, S], select per ray the first ``budget``
+    live samples (near→far order preserved) as static-shape indices.
+
+    Returns (sel [N, budget] int32 sample indices, sel_mask [N, budget]) —
+    rays with fewer than ``budget`` live samples get their tail masked off.
+    Downstream, expensive field queries gather only the selected samples:
+    S → budget is pure compute/bandwidth savings at identical output
+    (provided the mask is conservative).
+    """
+    n, s = mask.shape
+    order = jnp.arange(s, dtype=jnp.int32)
+    # score: live samples get descending scores in near-to-far order; dead
+    # samples score below every live one. top_k then yields the first
+    # `budget` live sample positions, already sorted near→far.
+    score = jnp.where(mask, s - order, -1)
+    top_scores, sel = jax.lax.top_k(score, budget)
+    sel_mask = top_scores > 0
+    sel = jnp.where(sel_mask, sel, 0)
+    return sel.astype(jnp.int32), sel_mask
+
+
+def gather_samples(x: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-ray selected samples: x [N, S, ...] + sel [N, B] -> [N, B, ...]."""
+    if x.ndim == 2:
+        return jnp.take_along_axis(x, sel, axis=1)
+    extra = x.shape[2:]
+    idx = sel.reshape(sel.shape + (1,) * len(extra))
+    idx = jnp.broadcast_to(idx, sel.shape + extra)
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def scatter_samples(
+    values: jnp.ndarray, sel: jnp.ndarray, s: int, fill=0.0
+) -> jnp.ndarray:
+    """Inverse of gather_samples: scatter [N, B, ...] back to [N, S, ...]."""
+    n, b = sel.shape
+    out_shape = (n, s) + values.shape[2:]
+    out = jnp.full(out_shape, fill, dtype=values.dtype)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, b))
+    return out.at[rows, sel].set(values)
+
+
 def maskcache_lookup(
     mask_grid: jnp.ndarray,
     xyz: jnp.ndarray,
