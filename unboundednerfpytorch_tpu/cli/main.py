@@ -78,6 +78,10 @@ def main(argv=None) -> int:
         from unboundednerfpytorch_tpu.train import loop
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
 
+        if block_num > 1:
+            loop.run_train_blocks(cfg, data_dict, block_num, exp_dir, seed=args.seed)
+            print(f"block training finished ({block_num} blocks)")
+            return 0
         family, mcfg, params, psnr = loop.run_train(cfg, data_dict, seed=args.seed)
         ckpt.save_model(os.path.join(exp_dir, "fine_last"), family, mcfg, params)
         print(f"train finished: psnr {psnr:.2f}")

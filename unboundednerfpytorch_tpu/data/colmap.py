@@ -1,0 +1,254 @@
+"""COLMAP / SfM ingestion for custom scenes.
+
+Re-implements the reference SfM tooling
+(``/root/reference/FourierGrid/tools/colmap_utils/`` + vendored pycolmap +
+``run_colmap2standard.py``): a COLMAP subprocess driver, binary sparse-model
+readers (cameras.bin / images.bin / points3D.bin — the standard public
+format), poses_bounds.npy generation for the LLFF pipeline, and conversion of
+a COLMAP reconstruction into the nerfpp-style 'standard' dataset layout.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# COLMAP subprocess driver (tools/colmap_utils/colmap_wrapper.py:25-88)
+# ---------------------------------------------------------------------------
+
+def run_colmap(basedir: str, match_type: str = "exhaustive_matcher",
+               colmap_bin: str = "colmap") -> None:
+    """feature_extractor → matcher → mapper into basedir/sparse/0."""
+    logfile = os.path.join(basedir, "colmap_output.txt")
+    with open(logfile, "w") as log:
+        subprocess.check_call(
+            [colmap_bin, "feature_extractor",
+             "--database_path", os.path.join(basedir, "database.db"),
+             "--image_path", os.path.join(basedir, "images"),
+             "--ImageReader.single_camera", "1"],
+            stdout=log, stderr=subprocess.STDOUT,
+        )
+        subprocess.check_call(
+            [colmap_bin, match_type,
+             "--database_path", os.path.join(basedir, "database.db")],
+            stdout=log, stderr=subprocess.STDOUT,
+        )
+        os.makedirs(os.path.join(basedir, "sparse"), exist_ok=True)
+        subprocess.check_call(
+            [colmap_bin, "mapper",
+             "--database_path", os.path.join(basedir, "database.db"),
+             "--image_path", os.path.join(basedir, "images"),
+             "--output_path", os.path.join(basedir, "sparse"),
+             "--Mapper.num_threads", "16",
+             "--Mapper.init_min_tri_angle", "4",
+             "--Mapper.multiple_models", "0",
+             "--Mapper.extract_colors", "0"],
+            stdout=log, stderr=subprocess.STDOUT,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Binary sparse-model readers (colmap_read_model.py / pycolmap scene_manager)
+# ---------------------------------------------------------------------------
+
+def _read_next_bytes(f, num_bytes, fmt, endian="<"):
+    return struct.unpack(endian + fmt, f.read(num_bytes))
+
+
+_CAM_MODEL_PARAMS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5), 4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12), 7: ("FOV", 5), 8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5), 10: ("THIN_PRISM_FISHEYE", 12),
+}
+
+
+def read_cameras_binary(path: str) -> dict:
+    cameras = {}
+    with open(path, "rb") as f:
+        (n,) = _read_next_bytes(f, 8, "Q")
+        for _ in range(n):
+            cam_id, model_id, w, h = _read_next_bytes(f, 24, "iiQQ")
+            name, n_params = _CAM_MODEL_PARAMS[model_id]
+            params = np.array(_read_next_bytes(f, 8 * n_params, "d" * n_params))
+            cameras[cam_id] = {
+                "model": name, "width": w, "height": h, "params": params,
+            }
+    return cameras
+
+
+def read_images_binary(path: str) -> dict:
+    images = {}
+    with open(path, "rb") as f:
+        (n,) = _read_next_bytes(f, 8, "Q")
+        for _ in range(n):
+            vals = _read_next_bytes(f, 64, "idddddddi")
+            image_id = vals[0]
+            qvec = np.array(vals[1:5])
+            tvec = np.array(vals[5:8])
+            camera_id = vals[8]
+            name = b""
+            c = f.read(1)
+            while c != b"\x00":
+                name += c
+                c = f.read(1)
+            (n_pts,) = _read_next_bytes(f, 8, "Q")
+            elems = _read_next_bytes(f, 24 * n_pts, "ddq" * n_pts)
+            xys = np.array(elems).reshape(-1, 3)[:, :2] if n_pts else np.zeros((0, 2))
+            pt_ids = (
+                np.array(elems).reshape(-1, 3)[:, 2].astype(np.int64)
+                if n_pts else np.zeros((0,), np.int64)
+            )
+            images[image_id] = {
+                "qvec": qvec, "tvec": tvec, "camera_id": camera_id,
+                "name": name.decode(), "xys": xys, "point3D_ids": pt_ids,
+            }
+    return images
+
+
+def read_points3d_binary(path: str) -> dict:
+    points = {}
+    with open(path, "rb") as f:
+        (n,) = _read_next_bytes(f, 8, "Q")
+        for _ in range(n):
+            vals = _read_next_bytes(f, 43, "QdddBBBd")
+            pid = vals[0]
+            xyz = np.array(vals[1:4])
+            rgb = np.array(vals[4:7])
+            error = vals[7]
+            (track_len,) = _read_next_bytes(f, 8, "Q")
+            track = _read_next_bytes(f, 8 * track_len, "ii" * track_len)
+            points[pid] = {
+                "xyz": xyz, "rgb": rgb, "error": error,
+                "image_ids": np.array(track[0::2]),
+            }
+    return points
+
+
+def qvec2rotmat(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * y * y - 2 * z * z, 2 * x * y - 2 * w * z, 2 * x * z + 2 * w * y],
+        [2 * x * y + 2 * w * z, 1 - 2 * x * x - 2 * z * z, 2 * y * z - 2 * w * x],
+        [2 * x * z - 2 * w * y, 2 * y * z + 2 * w * x, 1 - 2 * x * x - 2 * y * y],
+    ])
+
+
+# ---------------------------------------------------------------------------
+# poses_bounds.npy generation (tools/colmap_utils/pose_utils.py gen_poses)
+# ---------------------------------------------------------------------------
+
+def load_colmap_data(basedir: str):
+    sparse = os.path.join(basedir, "sparse", "0")
+    cameras = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    images = read_images_binary(os.path.join(sparse, "images.bin"))
+    points = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+
+    cam = cameras[list(cameras.keys())[0]]
+    h, w = cam["height"], cam["width"]
+    f = cam["params"][0]
+    hwf = np.array([h, w, f]).reshape(3, 1)
+
+    names = [images[k]["name"] for k in images]
+    perm = np.argsort(names)
+    keys = list(images.keys())
+
+    w2c_mats = []
+    bottom = np.array([0, 0, 0, 1.0]).reshape(1, 4)
+    for k in keys:
+        R = qvec2rotmat(images[k]["qvec"])
+        t = images[k]["tvec"].reshape(3, 1)
+        w2c_mats.append(np.concatenate([np.concatenate([R, t], 1), bottom], 0))
+    w2c_mats = np.stack(w2c_mats)
+    c2w_mats = np.linalg.inv(w2c_mats)
+    poses = c2w_mats[:, :3, :4].transpose([1, 2, 0])
+    poses = np.concatenate(
+        [poses, np.tile(hwf[..., np.newaxis], [1, 1, poses.shape[-1]])], 1
+    )
+    # [r, -u, t] -> [-u, r, -t] LLFF convention
+    poses = np.concatenate(
+        [poses[:, 1:2, :], poses[:, 0:1, :], -poses[:, 2:3, :], poses[:, 3:4, :], poses[:, 4:5, :]],
+        1,
+    )
+    return poses, perm, keys, images, points, w2c_mats
+
+
+def save_poses_bounds(basedir: str) -> np.ndarray:
+    """Compute per-image depth bounds from visible 3D points and write
+    poses_bounds.npy (pose_utils.py save_poses)."""
+    poses, perm, keys, images, points, w2c = load_colmap_data(basedir)
+    pts_arr = np.stack([points[p]["xyz"] for p in points]) if points else np.zeros((0, 3))
+    pid_index = {p: i for i, p in enumerate(points)}
+
+    save_arr = []
+    for i in perm:
+        k = keys[i]
+        vis_ids = [pid_index[p] for p in images[k]["point3D_ids"] if p in pid_index]
+        if vis_ids:
+            pts = pts_arr[vis_ids]
+            zvals = (pts @ w2c[i][2, :3]) + w2c[i][2, 3]
+            close_d, inf_d = np.percentile(zvals, 0.1), np.percentile(zvals, 99.9)
+        else:
+            close_d, inf_d = 0.1, 10.0
+        save_arr.append(
+            np.concatenate([poses[..., i].ravel(), np.array([close_d, inf_d])], 0)
+        )
+    save_arr = np.array(save_arr)
+    np.save(os.path.join(basedir, "poses_bounds.npy"), save_arr)
+    return save_arr
+
+
+def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> None:
+    """imgs2poses entry (tools/imgs2poses.py): run COLMAP when needed, then
+    write poses_bounds.npy."""
+    sparse = os.path.join(basedir, "sparse", "0")
+    needed = {"cameras.bin", "images.bin", "points3D.bin"}
+    have = set(os.listdir(sparse)) if os.path.exists(sparse) else set()
+    if not needed.issubset(have):
+        run_colmap(basedir, match_type)
+    save_poses_bounds(basedir)
+
+
+def colmap_to_standard(basedir: str, out_dir: str, holdout: int = 8) -> None:
+    """Convert a COLMAP reconstruction to the nerfpp 'standard' layout
+    (run_colmap2standard.py): train/test dirs with rgb/, pose/*.txt (c2w 4x4)
+    and intrinsics/*.txt (flattened 4x4 K)."""
+    import shutil
+
+    sparse = os.path.join(basedir, "sparse", "0")
+    cameras = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    images = read_images_binary(os.path.join(sparse, "images.bin"))
+    cam = cameras[list(cameras.keys())[0]]
+    fx = cam["params"][0]
+    fy = cam["params"][1] if len(cam["params"]) > 3 else fx
+    cx, cy = cam["params"][-2], cam["params"][-1]
+    K = np.eye(4)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = fx, fy, cx, cy
+
+    keys = sorted(images.keys(), key=lambda k: images[k]["name"])
+    for split in ("train", "test"):
+        for sub in ("rgb", "pose", "intrinsics"):
+            os.makedirs(os.path.join(out_dir, split, sub), exist_ok=True)
+    for i, k in enumerate(keys):
+        split = "test" if holdout > 0 and i % holdout == 0 else "train"
+        img = images[k]
+        R = qvec2rotmat(img["qvec"])
+        t = img["tvec"].reshape(3, 1)
+        w2c = np.concatenate(
+            [np.concatenate([R, t], 1), np.array([[0, 0, 0, 1.0]])], 0
+        )
+        c2w = np.linalg.inv(w2c)
+        stem = f"{i:05d}"
+        np.savetxt(os.path.join(out_dir, split, "pose", stem + ".txt"),
+                   c2w.reshape(1, -1))
+        np.savetxt(os.path.join(out_dir, split, "intrinsics", stem + ".txt"),
+                   K.reshape(1, -1))
+        src = os.path.join(basedir, "images", img["name"])
+        dst = os.path.join(out_dir, split, "rgb", stem + os.path.splitext(img["name"])[1])
+        if os.path.exists(src):
+            shutil.copy(src, dst)

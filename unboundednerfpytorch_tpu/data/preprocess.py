@@ -1,0 +1,210 @@
+"""Waymo Block-NeRF preprocessing: TFRecord decode + block splitting.
+
+Re-implements ``/root/reference/data_preprocess/``:
+  * :func:`decode_waymo_tfrecords` — decode the official Waymo Block-NeRF
+    release (image, ray origins/dirs, intrinsics, exposure) and recover the
+    c2w rotation from the stored per-pixel ray directions by least squares
+    (``fetch_data_from_tf_record.py:28-77``). Requires tensorflow, which is
+    optional here — a clear error is raised if missing.
+  * :func:`solve_block_diameter` — Newton solve for the centroid spacing
+    giving a target circle-overlap ratio (``split_block.py:54-73``);
+  * :func:`split_blocks` — camera-origin-radius block assignment with
+    overlap (``split_block.py:76-120``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Block splitting (pure numpy)
+# ---------------------------------------------------------------------------
+
+def solve_block_diameter(r: float = 2.0, overlap: float = 0.5) -> float:
+    """Distance 2x between circle centers of radius r whose lens-shaped
+    intersection is `overlap` of a circle's area — Newton iteration on
+    2·acos(x/r)·r² − 2x·√(r²−x²) = overlap·π·r² (split_block.py:54-73)."""
+    x = r * 0.9
+    x0 = x + 1.0
+    while abs(x - x0) >= 1e-6:
+        x0 = x
+        f = (
+            2 * np.arccos(x0 / r) * r**2
+            - 2 * x0 * np.sqrt(r**2 - x0**2)
+            - overlap * np.pi * r**2
+        )
+        fd = (2 * x0**2 - 2 * r**2) / np.sqrt(r**2 - x0**2) - 2 * np.sqrt(
+            r**2 - x0**2
+        )
+        x = x0 - f / fd
+    return 2 * x
+
+
+def sort_origins_by_pos(img_origins: dict) -> dict:
+    """Sort {image_name: origin} by (y, x) origin position."""
+    items = sorted(img_origins.items(), key=lambda kv: (kv[1][1], kv[1][0]))
+    return dict(items)
+
+
+def block_elements_within(img_origins: dict, centroid_name: str, radius: float):
+    """[ [image_name, running-index] ] for origins within radius of the
+    centroid image (split_block.py:77-88)."""
+    out = []
+    idx = 0
+    c = np.asarray(img_origins[centroid_name])
+    for name, origin in img_origins.items():
+        if np.linalg.norm(c - np.asarray(origin)) <= radius:
+            out.append([name, idx])
+            idx += 1
+    return out
+
+
+def split_blocks(
+    img_origins: dict,
+    radius: float = 2.0,
+    overlap: float = 0.5,
+) -> dict:
+    """Assign images to overlapping blocks along the (sorted) trajectory.
+
+    Returns {block_i: {"centroid": [x,y,z], "elements": [[name, idx], ...]}}
+    — the ``split_block_train.json`` structure consumed by Block-NeRF
+    training and composed inference.
+    """
+    origins = sort_origins_by_pos(img_origins)
+    names = list(origins.keys())
+    spacing = solve_block_diameter(radius, overlap)
+
+    blocks = {}
+    block_id = 0
+    i = 0
+    while i < len(names):
+        centroid_name = names[i]
+        elements = block_elements_within(origins, centroid_name, radius)
+        blocks[f"block_{block_id}"] = {
+            "centroid": list(np.asarray(origins[centroid_name], dtype=float)),
+            "elements": elements,
+        }
+        block_id += 1
+        # advance to the first origin farther than the overlap spacing
+        j = i + 1
+        c = np.asarray(origins[centroid_name])
+        while j < len(names) and np.linalg.norm(
+            c - np.asarray(origins[names[j]])
+        ) < spacing:
+            j += 1
+        if j == i + 1 and j < len(names):
+            j += 1
+        if j >= len(names):
+            break
+        i = j
+    return blocks
+
+
+def write_block_split(blocks: dict, out_path: str) -> None:
+    with open(out_path, "w") as f:
+        json.dump(blocks, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# TFRecord decode (optional tensorflow)
+# ---------------------------------------------------------------------------
+
+def recover_rotation_from_rays(cam_dirs: np.ndarray, world_dirs: np.ndarray) -> np.ndarray:
+    """Least-squares c2w rotation R with world ≈ cam @ R^T
+    (fetch_data_from_tf_record.py:57-77): solve via SVD of the correlation."""
+    A = cam_dirs.reshape(-1, 3)
+    B = world_dirs.reshape(-1, 3)
+    H = A.T @ B
+    U, _, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    D = np.diag([1.0, 1.0, d])
+    return Vt.T @ D @ U.T
+
+
+def decode_waymo_tfrecords(
+    tfrecord_paths: list[str],
+    out_dir: str,
+    splits: tuple = ("train", "val"),
+) -> dict:
+    """Decode the Waymo Block-NeRF TFRecords into images + metadata.json
+    (the format consumed by :mod:`unboundednerfpytorch_tpu.data.waymo`)."""
+    try:
+        import tensorflow as tf  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "decode_waymo_tfrecords requires tensorflow (not bundled); "
+            "decode on a machine with TF and ship metadata.json + pngs"
+        ) from e
+
+    feature_spec = {
+        "image_hash": tf.io.FixedLenFeature([], tf.int64),
+        "cam_idx": tf.io.FixedLenFeature([], tf.int64),
+        "equivalent_exposure": tf.io.FixedLenFeature([], tf.float32),
+        "height": tf.io.FixedLenFeature([], tf.int64),
+        "width": tf.io.FixedLenFeature([], tf.int64),
+        "image": tf.io.FixedLenFeature([], tf.string),
+        "ray_origins": tf.io.VarLenFeature(tf.float32),
+        "ray_dirs": tf.io.VarLenFeature(tf.float32),
+        "intrinsics": tf.io.VarLenFeature(tf.float32),
+    }
+
+    metadata = {s: {
+        "file_path": [], "cam2world": [], "K": [], "width": [], "height": [],
+        "position": [], "cam_idx": [], "equivalent_exposure": [],
+    } for s in splits}
+
+    for split in splits:
+        os.makedirs(os.path.join(out_dir, f"images_{split}"), exist_ok=True)
+
+    idx = 0
+    for path in tfrecord_paths:
+        split = "val" if "validation" in os.path.basename(path) else "train"
+        ds = tf.data.TFRecordDataset(path, compression_type="GZIP")
+        for rec in ds:
+            b = tf.io.parse_single_example(rec, feature_spec)
+            h = int(b["height"])
+            w = int(b["width"])
+            K = np.array(tf.sparse.to_dense(b["intrinsics"]).numpy()).tolist()
+            origins = tf.sparse.to_dense(b["ray_origins"]).numpy().reshape(h, w, 3)
+            dirs = tf.sparse.to_dense(b["ray_dirs"]).numpy().reshape(h, w, 3)
+            img = tf.io.decode_png(b["image"]).numpy()
+
+            # camera-frame dirs from intrinsics; recover rotation by LS
+            fx, fy = K[0], K[1]
+            j, i = np.mgrid[0:h, 0:w].astype(np.float32)
+            cam_dirs = np.stack(
+                [(i - w / 2 + 0.5) / fx, -(j - h / 2 + 0.5) / fy, -np.ones_like(i)], -1
+            )
+            cam_dirs = cam_dirs / np.linalg.norm(cam_dirs, axis=-1, keepdims=True)
+            world_dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+            R = recover_rotation_from_rays(cam_dirs, world_dirs)
+            origin = origins.reshape(-1, 3).mean(0)
+            c2w = np.eye(4)
+            c2w[:3, :3] = R
+            c2w[:3, 3] = origin
+
+            name = f"{idx:06d}"
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                os.path.join(out_dir, f"images_{split}", name + ".png"), img
+            )
+            m = metadata[split]
+            m["file_path"].append(f"images_{split}/{name}.png")
+            m["cam2world"].append(c2w.tolist())
+            m["K"].append(np.array(K[:9]).reshape(3, 3).tolist() if len(K) >= 9
+                          else [[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
+            m["width"].append(w)
+            m["height"].append(h)
+            m["position"].append(origin.tolist())
+            m["cam_idx"].append(int(b["cam_idx"]))
+            m["equivalent_exposure"].append(float(b["equivalent_exposure"]))
+            idx += 1
+
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    return metadata

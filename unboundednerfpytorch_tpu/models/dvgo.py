@@ -232,6 +232,26 @@ def forward(
     )
 
 
+def hit_coarse_geo(
+    params: DVGOParams,
+    cfg: DVGOConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    stepsize: float,
+) -> jnp.ndarray:
+    """Whether each ray hits solved coarse geometry (dvgo.py:292-304): march
+    through the bbox and OR the occupancy-cache hits. Used by the
+    'in_maskcache' training-ray filter."""
+    S = n_samples(cfg, stepsize)
+    samples = sampling.sample_pts_on_rays(
+        rays_o, rays_d, jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max),
+        near, stepsize * cfg.voxel_size, S,
+    )
+    hit = samples.mask & params.mask_cache(samples.pts)
+    return jnp.any(hit, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Lifecycle ops (no-grad in the reference; pure param->param here)
 # ---------------------------------------------------------------------------

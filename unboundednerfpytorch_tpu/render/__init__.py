@@ -29,38 +29,62 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
     fwd_core = make_forward(family, mcfg, render_kwargs)
     fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None)
 
+    # optional ARF stylization of the render set (run_render.py:119-122,170-172)
+    stylizer = None
+    style_root = getattr(args, "style_root", None)
+    if style_root:
+        from unboundednerfpytorch_tpu.render.arf import ARF
+
+        H0, W0 = (int(v) for v in np.asarray(data_dict["HW"])[0])
+        stylizer = ARF(style_root, getattr(args, "style_id", 0), H0, W0)
+
     splits = []
     if getattr(args, "render_train", False):
-        splits.append(("train", data_dict["i_train"]))
+        splits.append(("train", data_dict["i_train"], None))
     if getattr(args, "render_test", True) or not splits:
-        splits.append(("test", data_dict["i_test"]))
+        splits.append(("test", data_dict["i_test"], None))
+    if getattr(args, "render_video", False) and data_dict.get("render_poses") is not None:
+        splits.append(("video", None, np.asarray(data_dict["render_poses"])))
 
-    for name, idx in splits:
-        idx = np.asarray(idx)
-        if idx.size == 0:
-            continue
-        out = render_viewpoints(
-            fwd,
-            poses=np.asarray(data_dict["poses"])[idx],
-            HW=np.asarray(data_dict["HW"])[idx],
-            Ks=np.asarray(data_dict["Ks"])[idx],
-            gt_imgs=(
+    for name, idx, poses_override in splits:
+        if poses_override is not None:
+            poses = poses_override
+            HW = np.repeat(np.asarray(data_dict["HW"])[:1], len(poses), axis=0)
+            Ks = np.repeat(np.asarray(data_dict["Ks"])[:1], len(poses), axis=0)
+            gt = None
+        else:
+            idx = np.asarray(idx)
+            if idx.size == 0:
+                continue
+            poses = np.asarray(data_dict["poses"])[idx]
+            HW = np.asarray(data_dict["HW"])[idx]
+            Ks = np.asarray(data_dict["Ks"])[idx]
+            gt = (
                 np.asarray(data_dict["images"])[idx]
                 if data_dict.get("images") is not None
                 else None
-            ),
+            )
+        out = render_viewpoints(
+            fwd,
+            poses=poses,
+            HW=HW,
+            Ks=Ks,
+            gt_imgs=gt,
             ndc=cfg.data.ndc,
             inverse_y=cfg.data.inverse_y,
             flip_x=cfg.data.flip_x,
             flip_y=cfg.data.flip_y,
             eval_lpips=getattr(args, "eval_lpips", False),
         )
+        rgbs = out["rgbs"]
+        if stylizer is not None and len(rgbs):
+            rgbs, _ = stylizer.match_colors_for_image_set(rgbs, exp_dir)
         if getattr(args, "dump_images", False):
             import imageio.v2 as imageio
 
             outdir = os.path.join(exp_dir, f"render_{name}")
             os.makedirs(outdir, exist_ok=True)
-            for i, rgb in enumerate(out["rgbs"]):
+            for i, rgb in enumerate(rgbs):
                 imageio.imwrite(
                     os.path.join(outdir, f"{i:03d}.png"), M.to8b(rgb)
                 )
@@ -68,6 +92,18 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
                     os.path.join(outdir, f"{i:03d}_depth.png"),
                     depth_to_vis(out["depths"][i]),
                 )
+        if name == "video" and len(rgbs):
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(
+                os.path.join(exp_dir, "render_video.mp4"),
+                M.to8b(rgbs), fps=30, quality=8,
+            )
+            imageio.mimwrite(
+                os.path.join(exp_dir, "render_video_depth.mp4"),
+                np.stack([depth_to_vis(d) for d in out["depths"]]),
+                fps=30, quality=8,
+            )
         if out["psnrs"]:
             print(f"{name}: psnr {np.mean(out['psnrs']):.2f}")
 

@@ -238,10 +238,33 @@ def scene_rep_reconstruction(
     }
 
     store = gather_training_rays(cfg, data_dict)
+
+    # 'in_maskcache' ray filter (dvgo.get_training_rays_in_maskcache_sampling):
+    # drop rays that never hit the coarse occupancy — host-side boolean
+    # filtering on the precomputed store (one-time, outside jit).
+    if cfg_train.ray_sampler == "in_maskcache" and family == "dvgo":
+        hit_fn = jax.jit(
+            lambda ro, rd: dvgo.hit_coarse_geo(
+                params, mcfg, ro, rd,
+                near=render_kwargs["near"], stepsize=render_kwargs["stepsize"],
+            )
+        )
+        chunks = []
+        n_total = store["rays_o"].shape[0]
+        for i in range(0, n_total, 65536):
+            chunks.append(np.asarray(hit_fn(
+                store["rays_o"][i : i + 65536], store["rays_d"][i : i + 65536]
+            )))
+        hit = np.concatenate(chunks)
+        if hit.any() and not hit.all():
+            idx = np.nonzero(hit)[0]
+            store = {k: v[idx] for k, v in store.items()}
+
     state = create_train_state(params, cfg_train)
 
     # per-voxel learning rate from view counts (run_train.py:169-180)
-    if cfg_train.pervoxel_lr and family == "dvgo":
+    if (cfg_train.pervoxel_lr and family == "dvgo"
+            and cfg_train.ray_sampler != "in_maskcache"):
         n_img = len(np.asarray(data_dict["i_train"]))
         H, W = (int(v) for v in np.asarray(data_dict["HW"])[0])
         rays_o_v = store["rays_o"].reshape(n_img, H * W, 3)
@@ -328,6 +351,49 @@ def scene_rep_reconstruction(
             callback(global_step, metrics)
 
     return family, mcfg, state.params, last_psnr
+
+
+def run_train_blocks(
+    cfg: ExpConfig,
+    data_dict: dict,
+    block_num: int,
+    exp_dir: str,
+    seed: int = 777,
+    log_fn=print,
+    merge: bool = True,
+):
+    """Scene/block-parallel training (run_FourierGrid.py:101-103 +
+    run_render.py:146-207 semantics): partition the (position-sorted)
+    training views into `block_num` contiguous blocks, train each
+    independently (embarrassingly parallel — blocks can map to hosts), save
+    per-block checkpoints fine_last_{i}, then device-side min-merge them
+    (FourierGrid_ckpt_manager.merge_blocks)."""
+    import os
+
+    from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
+
+    i_train = np.asarray(data_dict["i_train"])
+    per_block = int(np.ceil(len(i_train) / block_num))
+    paths = []
+    for b in range(block_num):
+        ids = i_train[b * per_block : (b + 1) * per_block]
+        if ids.size == 0:
+            continue
+        sub = dict(data_dict)
+        sub["i_train"] = ids
+        log_fn(f"block {b}: training on {len(ids)} views")
+        family, mcfg, params, psnr = run_train(
+            cfg, sub, seed=seed + b, log_fn=log_fn
+        )
+        path = os.path.join(exp_dir, f"fine_last_{b}")
+        ckpt.save_model(path, family, mcfg, params)
+        paths.append(path)
+        log_fn(f"block {b}: psnr {psnr:.2f} -> {path}")
+    if merge and len(paths) > 1:
+        merged = os.path.join(exp_dir, "fine_last_merged")
+        ckpt.merge_blocks(paths, merged)
+        log_fn(f"merged {len(paths)} blocks -> {merged}")
+    return paths
 
 
 def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print):
