@@ -109,6 +109,79 @@ def load_common_data(data_cfg: DataConfig) -> dict:
         hemi_R = np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1))
         near, far = hemi_R - 1, hemi_R + 1
         assert data_cfg.white_bkgd
+    elif dt == "free":
+        from unboundednerfpytorch_tpu.data import extra_loaders
+
+        images, depths, Ks_arr, poses, bds, render_poses, i_test = (
+            extra_loaders.load_free_data(
+                data_cfg.datadir, data_cfg.factor,
+                llffhold=data_cfg.llffhold,
+                training_ids=list(data_cfg.training_ids) or None,
+            )
+        )
+        i_val = i_test
+        i_train = np.array(
+            [i for i in np.arange(int(images.shape[0])) if i not in i_test]
+        )
+        near_clip = max(float(bds.min()) * 0.9, 0)
+        near = 0
+        far = (
+            1.0 if data_cfg.ndc
+            else inward_nearfar_heuristic(poses[i_train, :3, 3])[1]
+        )
+        HW = np.array([im.shape[:2] for im in images])
+        return dict(
+            hwf=None, HW=HW, Ks=Ks_arr, near=near, far=far,
+            near_clip=near_clip, i_train=i_train, i_val=np.asarray(i_val),
+            i_test=np.asarray(i_test), poses=poses[:, :3, :4],
+            render_poses=np.asarray(render_poses)[:, :3, :4],
+            images=images.astype(np.float32), depths=depths,
+            irregular_shape=images.dtype is np.dtype("object"),
+        )
+    elif dt == "nerfstudio":
+        from unboundednerfpytorch_tpu.data import extra_loaders
+
+        images, depths, poses, bds, render_poses, i_test = (
+            extra_loaders.load_nerfstudio_data(
+                data_cfg.datadir, data_cfg.factor, dvgohold=data_cfg.dvgohold
+            )
+        )
+        hwf = poses[0, :3, -1]
+        poses = poses[:, :3, :4]
+        if not isinstance(i_test, list):
+            i_test = [i_test]
+        if data_cfg.llffhold > 0:
+            i_test = np.arange(images.shape[0])[:: data_cfg.llffhold]
+        i_val = i_test
+        i_train = np.array(
+            [i for i in np.arange(int(images.shape[0])) if i not in i_test]
+        )
+        if data_cfg.ndc:
+            near, far = 0.0, 1.0
+        else:
+            near_clip = max(float(bds.min()) * 0.9, 0)
+            near = 0
+            far = inward_nearfar_heuristic(poses[i_train, :3, 3])[1]
+    elif dt == "co3d":
+        from unboundednerfpytorch_tpu.data import extra_loaders
+
+        images, masks, poses, render_poses, hwf, K, i_split = (
+            extra_loaders.load_co3d_data(
+                data_cfg.datadir, data_cfg.annot_path, data_cfg.split_path,
+                data_cfg.sequence_name,
+            )
+        )
+        i_train, i_val, i_test = i_split
+        near, far = inward_nearfar_heuristic(
+            poses[np.asarray(i_train), :3, 3], ratio=0
+        )
+        for i in range(len(images)):
+            if data_cfg.white_bkgd:
+                images[i] = images[i] * masks[i][..., None] + (
+                    1.0 - masks[i][..., None]
+                )
+            else:
+                images[i] = images[i] * masks[i][..., None]
     elif dt == "nerfpp":
         images, poses, render_poses, hwf, K, i_split = loaders.load_nerfpp_data(
             data_cfg.datadir,

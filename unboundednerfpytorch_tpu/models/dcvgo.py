@@ -45,6 +45,7 @@ class DCVGOConfig:
     viewbase_pe: int = 4
     mask_cache_world_size: tuple | None = None
     stepsize: float = 0.5
+    grid_dtype: str = "float32"
 
     @property
     def xyz_min(self) -> tuple:
@@ -119,6 +120,7 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels) -> DCVGOConfig:
         rgbnet_depth=cfg_model.rgbnet_depth,
         rgbnet_width=cfg_model.rgbnet_width,
         stepsize=cfg_model.stepsize,
+        grid_dtype=getattr(cfg_model, "grid_dtype", "float32"),
     )
 
 
@@ -134,8 +136,9 @@ class DCVGOParams:
 def create(cfg: DCVGOConfig, key: jax.Array) -> DCVGOParams:
     k1, k2, k3 = jax.random.split(key, 3)
     ws = cfg.world_size
-    density = DenseGrid.create(1, ws, cfg.xyz_min, cfg.xyz_max)
-    k0 = DenseGrid.create(cfg.k0_dim, ws, cfg.xyz_min, cfg.xyz_max)
+    dt = jnp.dtype(cfg.grid_dtype)
+    density = DenseGrid.create(1, ws, cfg.xyz_min, cfg.xyz_max, dtype=dt)
+    k0 = DenseGrid.create(cfg.k0_dim, ws, cfg.xyz_min, cfg.xyz_max, dtype=dt)
     rgbnet = None
     if cfg.rgbnet_dim > 0:
         rgbnet = MLP.create(k3, cfg.rgbnet_in_dim, cfg.rgbnet_width, 3, cfg.rgbnet_depth)

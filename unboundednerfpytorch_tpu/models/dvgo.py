@@ -57,6 +57,7 @@ class DVGOConfig:
     viewbase_pe: int = 4
     mask_cache_world_size: tuple | None = None
     mask_cache_thres: float = 1e-3
+    grid_dtype: str = "float32"  # bfloat16 halves gather bandwidth
 
     # ---- derived quantities (reference _set_grid_resolution, dvgo.py:154-163)
     @property
@@ -112,7 +113,8 @@ class DVGOParams:
 
 def _make_grid(grid_type: str, channels: int, world_size, cfg: DVGOConfig, grid_cfg, key):
     if grid_type == "DenseGrid":
-        return DenseGrid.create(channels, world_size, cfg.xyz_min, cfg.xyz_max)
+        return DenseGrid.create(channels, world_size, cfg.xyz_min, cfg.xyz_max,
+                                dtype=jnp.dtype(cfg.grid_dtype))
     if grid_type == "TensoRFGrid":
         gc = dict(grid_cfg)
         return TensoRFGrid.create(

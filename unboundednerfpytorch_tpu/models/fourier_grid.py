@@ -55,6 +55,7 @@ class FourierGridConfig:
     # occupancy cache before the expensive Fourier-bank queries (0 = off).
     # Replaces the reference's dynamic-shape compaction (SURVEY.md §7.3).
     sample_budget: int = 0
+    grid_dtype: str = "float32"
 
     @property
     def xyz_min(self) -> tuple:
@@ -162,6 +163,7 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         stepsize=cfg_model.stepsize,
         t_boundary=cfg_model.t_boundary,
         sample_budget=getattr(cfg_model, "sample_budget", 0),
+        grid_dtype=getattr(cfg_model, "grid_dtype", "float32"),
     )
 
 
@@ -178,18 +180,20 @@ class FourierGridParams:
 
 def create(cfg: FourierGridConfig, key: jax.Array) -> FourierGridParams:
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    dt = jnp.dtype(cfg.grid_dtype)
     density = FourierGrid.create(
         1, cfg.world_size_density, cfg.xyz_min, cfg.xyz_max,
-        num_freqs=cfg.fourier_freq_num,
+        num_freqs=cfg.fourier_freq_num, dtype=dt,
     )
     if cfg.rgbnet_dim <= 0:
         # coarse: plain color grid, no positional banks (model:215-221)
-        k0 = FourierGrid.create(3, cfg.world_size_rgb, cfg.xyz_min, cfg.xyz_max, num_freqs=0)
+        k0 = FourierGrid.create(3, cfg.world_size_rgb, cfg.xyz_min, cfg.xyz_max,
+                                num_freqs=0, dtype=dt)
         rgbnet = None
     else:
         k0 = FourierGrid.create(
             cfg.k0_dim, cfg.world_size_rgb, cfg.xyz_min, cfg.xyz_max,
-            num_freqs=cfg.fourier_freq_num,
+            num_freqs=cfg.fourier_freq_num, dtype=dt,
         )
         rgbnet = MLP.create(k3, cfg.rgbnet_in_dim, cfg.rgbnet_width, 3, cfg.rgbnet_depth)
     vd = None
