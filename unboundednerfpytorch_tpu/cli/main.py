@@ -82,7 +82,10 @@ def main(argv=None) -> int:
             loop.run_train_blocks(cfg, data_dict, block_num, exp_dir, seed=args.seed)
             print(f"block training finished ({block_num} blocks)")
             return 0
-        family, mcfg, params, psnr = loop.run_train(cfg, data_dict, seed=args.seed)
+        family, mcfg, params, psnr = loop.run_train(
+            cfg, data_dict, seed=args.seed, exp_dir=exp_dir,
+            no_reload=args.no_reload,
+        )
         ckpt.save_model(os.path.join(exp_dir, "fine_last"), family, mcfg, params)
         print(f"train finished: psnr {psnr:.2f}")
         args.program = "render"  # the reference always renders after training

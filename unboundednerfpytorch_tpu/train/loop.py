@@ -207,6 +207,9 @@ def scene_rep_reconstruction(
     log_every: int = 500,
     log_fn: Callable[[str], None] = print,
     callback: Callable[[int, dict], None] | None = None,
+    exp_dir: str | None = None,
+    no_reload: bool = False,
+    save_every: int = 0,
 ):
     """One training stage; returns (family, model config, trained params, psnr)."""
     # world_bound_scale bbox inflation (run_train.py:100-104)
@@ -219,11 +222,28 @@ def scene_rep_reconstruction(
 
     key = jax.random.PRNGKey(seed)
     key, k_model = jax.random.split(key)
-    family, mcfg, params = build_model(
-        cfg, cfg_model, cfg_train, xyz_min, xyz_max, k_model
-    )
 
-    if cfg_model.maskout_near_cam_vox and family == "dvgo":
+    # implicit resume: a crashed run restarted with the same expname picks up
+    # the stage's last checkpoint (run_train.py:112-136)
+    start_step = 0
+    reload_path = None
+    if exp_dir and not no_reload:
+        import os
+
+        cand = os.path.join(exp_dir, f"{stage}_last")
+        if os.path.exists(os.path.join(cand, "meta.json")):
+            reload_path = cand
+    if reload_path is not None:
+        from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
+
+        family, mcfg, params, start_step, _ = ckpt_mod.load_model(reload_path)
+        log_fn(f"{stage}: resumed from {reload_path} at step {start_step}")
+    else:
+        family, mcfg, params = build_model(
+            cfg, cfg_model, cfg_train, xyz_min, xyz_max, k_model
+        )
+
+    if cfg_model.maskout_near_cam_vox and family == "dvgo" and start_step == 0:
         cam_o = jnp.asarray(
             np.asarray(data_dict["poses"])[np.asarray(data_dict["i_train"])][:, :3, 3]
         )
@@ -316,7 +336,7 @@ def scene_rep_reconstruction(
     # a threshold change alters the static config -> re-jit boundary.
     thres_schedule = dict(cfg_model.fast_color_thres_schedule or ())
 
-    for global_step in range(1, n_iters + 1):
+    for global_step in range(1 + start_step, n_iters + 1):
         if global_step in thres_schedule and hasattr(mcfg, "fast_color_thres"):
             new_thres = float(thres_schedule[global_step])
             if new_thres != mcfg.fast_color_thres:
@@ -350,6 +370,15 @@ def scene_rep_reconstruction(
         if callback is not None:
             callback(global_step, metrics)
 
+    if exp_dir is not None:
+        import os
+
+        from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
+
+        ckpt_mod.save_model(
+            os.path.join(exp_dir, f"{stage}_last"), family, mcfg, state.params,
+            global_step=n_iters,
+        )
     return family, mcfg, state.params, last_psnr
 
 
@@ -396,7 +425,8 @@ def run_train_blocks(
     return paths
 
 
-def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print):
+def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
+              exp_dir: str | None = None, no_reload: bool = False):
     """Full two-stage recipe (run_train.py:336-398). Returns the fine model."""
     xyz_min_c, xyz_max_c = bbox_mod.compute_bbox_by_cam_frustrm(
         cfg, data_dict, model_family_name(cfg)
@@ -406,7 +436,7 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print):
         coarse_out = scene_rep_reconstruction(
             cfg, cfg.coarse_model_and_render, cfg.coarse_train,
             xyz_min_c, xyz_max_c, data_dict, stage="coarse",
-            seed=seed, log_fn=log_fn,
+            seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
         )
 
     if coarse_out is None or cfg.data.dataset_type == "waymo":
@@ -424,6 +454,6 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print):
     family, mcfg, params, psnr = scene_rep_reconstruction(
         cfg, cfg.fine_model_and_render, cfg.fine_train,
         xyz_min_f, xyz_max_f, data_dict, stage="fine",
-        seed=seed, log_fn=log_fn,
+        seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
     )
     return family, mcfg, params, psnr
