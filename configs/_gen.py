@@ -407,4 +407,240 @@ fine_model_and_render = dict(
 )
 """)
 
+
+# nsvf / blendedmvs / deepvoxels / tankstemple(bounded) / co3d / free / nerf_studio / custom
+NSVF = ["Bike", "Lifestyle", "Palace", "Robot", "Spaceship", "Steamtrain", "Toad", "Wineholder"]
+for s in NSVF:
+    write(f"nsvf/{s}.py", f"""_base_ = '../default.py'
+
+expname = 'dvgo_{s}'
+basedir = './logs/nsvf_synthetic'
+
+data = dict(
+    datadir='./data/Synthetic_NSVF/{s}',
+    dataset_type='nsvf',
+    inverse_y=True,
+    white_bkgd=True,
+)
+""")
+
+BMVS = ["Character", "Fountain", "Jade", "Statues"]
+for s in BMVS:
+    write(f"blendedmvs/{s}.py", f"""_base_ = '../default.py'
+
+expname = 'dvgo_{s}'
+basedir = './logs/blended_mvs'
+
+data = dict(
+    datadir='./data/BlendedMVS/{s}',
+    dataset_type='blendedmvs',
+    inverse_y=True,
+    white_bkgd=True,
+)
+""")
+
+DV = ["armchair", "cube", "greek", "vase"]
+for s in DV:
+    write(f"deepvoxels/{s}.py", f"""_base_ = '../default.py'
+
+expname = 'dvgo_{s}'
+basedir = './logs/deepvoxels'
+
+data = dict(
+    datadir='./data/deepvoxels',
+    dataset_type='deepvoxels',
+    sequence_name='{s}',
+    white_bkgd=True,
+)
+""")
+
+TT = ["Barn", "Caterpillar", "Family", "Ignatius", "Truck"]
+for s in TT:
+    write(f"tankstemple/{s}.py", f"""_base_ = '../default.py'
+
+expname = 'dvgo_{s}'
+basedir = './logs/tanks_and_temples'
+
+data = dict(
+    datadir='./data/TanksAndTemple/{s}',
+    dataset_type='tankstemple',
+    inverse_y=True,
+    load2gpu_on_the_fly=True,
+    white_bkgd=True,
+)
+
+coarse_train = dict(pervoxel_lr_downrate=2)
+""")
+
+write("free_dataset/free_default.py", """_base_ = '../default.py'
+
+model = 'FourierGrid'
+basedir = './logs/free'
+
+data = dict(
+    dataset_type='free',
+    factor=2,
+    white_bkgd=True,
+    rand_bkgd=True,
+    unbounded_inward=True,
+)
+
+coarse_train = dict(N_iters=0)
+
+fine_train = dict(
+    N_iters=40000,
+    N_rand=4096,
+    lrate_decay=80,
+    ray_sampler='flatten',
+    weight_nearclip=1.0,
+    weight_distortion=0.01,
+    pg_scale=[2000, 4000, 6000, 8000, 10000, 12000, 14000, 16000],
+    tv_before=20000,
+    tv_dense_before=20000,
+    weight_tv_density=1e-6,
+    weight_tv_k0=1e-7,
+)
+
+alpha_init = 1e-4
+stepsize = 0.5
+
+fine_model_and_render = dict(
+    num_voxels_rgb=320**3,
+    num_voxels_density=320**3,
+    num_voxels_base_rgb=320**3,
+    num_voxels_base_density=320**3,
+    alpha_init=alpha_init,
+    stepsize=stepsize,
+    fast_color_thres={
+        '_delete_': True,
+        0: alpha_init * stepsize / 10,
+        1500: min(alpha_init, 1e-4) * stepsize / 5,
+        2500: min(alpha_init, 1e-4) * stepsize / 2,
+        3500: min(alpha_init, 1e-4) * stepsize / 1.5,
+        4500: min(alpha_init, 1e-4) * stepsize,
+        5500: min(alpha_init, 1e-4),
+        6500: 1e-4,
+    },
+    world_bound_scale=1,
+)
+""")
+FREE = ["grass", "hydrant", "lab", "pillar", "road", "sky", "stair"]
+for s in FREE:
+    write(f"free_dataset/{s}.py", f"""_base_ = './free_default.py'
+
+expname = 'fouriergrid_free_{s}'
+
+data = dict(datadir='./data/free_dataset/{s}')
+""")
+
+write("nerf_studio/nerf_studio_default.py", """_base_ = '../default.py'
+
+basedir = './logs/nerf_studio'
+
+data = dict(
+    dataset_type='nerfstudio',
+    factor=4,
+    dvgohold=8,
+    white_bkgd=True,
+    rand_bkgd=True,
+    unbounded_inward=True,
+)
+
+coarse_train = dict(N_iters=0)
+
+fine_train = dict(
+    N_iters=40000,
+    N_rand=4096,
+    lrate_decay=80,
+    ray_sampler='flatten',
+    weight_nearclip=1.0,
+    weight_distortion=0.01,
+    pg_scale=[2000, 4000, 6000, 8000, 10000, 12000, 14000, 16000],
+    tv_before=20000,
+    tv_dense_before=20000,
+    weight_tv_density=1e-6,
+    weight_tv_k0=1e-7,
+)
+""")
+for s in ["poster", "dozer", "desolation"]:
+    write(f"nerf_studio/{s}.py", f"""_base_ = './nerf_studio_default.py'
+
+expname = 'dvgo_ns_{s}'
+
+data = dict(datadir='./data/nerfstudio/{s}')
+""")
+
+write("co3d/co3d_default.py", """_base_ = '../default.py'
+
+basedir = './logs/co3d'
+
+data = dict(
+    dataset_type='co3d',
+    inverse_y=True,
+    flip_x=True,
+    flip_y=True,
+    white_bkgd=True,
+)
+""")
+write("co3d/teddybear.py", """_base_ = './co3d_default.py'
+
+expname = 'dvgo_co3d_teddybear'
+
+data = dict(
+    datadir='./data/co3d/teddybear/34_1479_4753',
+    annot_path='./data/co3d/teddybear/frame_annotations.jgz',
+    split_path='./data/co3d/teddybear/set_lists.json',
+    sequence_name='34_1479_4753',
+)
+""")
+
+write("custom/default_forward_facing.py", """_base_ = '../default.py'
+
+basedir = './logs/custom'
+
+data = dict(
+    dataset_type='llff',
+    ndc=True,
+    factor=4,
+)
+
+fine_model_and_render = dict(
+    num_voxels_rgb=256**3,
+    num_voxels_density=256**3,
+    mpi_depth=128,
+    rgbnet_dim=9,
+    rgbnet_width=64,
+    fast_color_thres=1e-3,
+)
+""")
+write("custom/default_ubd_inward_facing.py", """_base_ = '../default.py'
+
+basedir = './logs/custom'
+
+data = dict(
+    dataset_type='llff',
+    spherify=True,
+    factor=4,
+    white_bkgd=True,
+    rand_bkgd=True,
+    unbounded_inward=True,
+)
+
+coarse_train = dict(N_iters=0)
+
+fine_train = dict(
+    N_iters=40000,
+    N_rand=4096,
+    lrate_decay=80,
+    ray_sampler='flatten',
+    weight_nearclip=1.0,
+    weight_distortion=0.01,
+    pg_scale=[2000, 4000, 6000, 8000, 10000, 12000, 14000, 16000],
+    tv_before=20000,
+    tv_dense_before=20000,
+    weight_tv_density=1e-6,
+    weight_tv_k0=1e-7,
+)
+""")
+
 print("configs generated")

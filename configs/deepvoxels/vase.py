@@ -1,0 +1,11 @@
+_base_ = '../default.py'
+
+expname = 'dvgo_vase'
+basedir = './logs/deepvoxels'
+
+data = dict(
+    datadir='./data/deepvoxels',
+    dataset_type='deepvoxels',
+    sequence_name='vase',
+    white_bkgd=True,
+)

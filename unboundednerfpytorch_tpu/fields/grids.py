@@ -142,15 +142,16 @@ class FourierGrid:
     def __call__(self, xyz: jnp.ndarray) -> jnp.ndarray:
         coords = _norm01(xyz, self.xyz_min, self.xyz_max) * 2.0 - 1.0  # [-1,1]
         if self.num_freqs > 0:
+            # per-bank loop keeps transients at [M, C] (TPU lane padding makes
+            # a fused [M, B, C] gather blow memory 128/C-fold)
+            B = self.grid.shape[0]
             bank_coords = nerf_pos_embed_coords(coords, self.num_freqs)  # [...,B,3]
-            # vmap the trilinear sample over banks; mean-reduce.
-            def sample_bank(bank_grid, c01):
-                return interp.grid_sample_3d(bank_grid, c01)
-
-            c01 = (bank_coords + 1.0) * 0.5  # back to [0,1] per-bank coords
-            c01 = jnp.moveaxis(c01, -2, 0)  # [B, ..., 3]
-            vals = jax.vmap(sample_bank)(self.grid, c01)  # [B, ..., C]
-            return vals.mean(axis=0)
+            c01 = (bank_coords + 1.0) * 0.5
+            vals = None
+            for b in range(B):
+                v = interp.grid_sample_3d(self.grid[b], c01[..., b, :])
+                vals = v if vals is None else vals + v
+            return vals / B
         return interp.grid_sample_3d(self.grid[0], (coords + 1.0) * 0.5)
 
     def scale_volume_grid(self, new_world_size) -> "FourierGrid":

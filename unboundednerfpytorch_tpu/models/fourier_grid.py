@@ -274,7 +274,40 @@ def forward(
         mask = sel_mask
         S = cfg.sample_budget
 
-    density = params.density(pts)[..., 0]
+    # Fused field query: when density and k0 share resolution + bank
+    # structure (the garden/default fine config), gather BOTH from one
+    # concatenated [B*XYZ, 1+k0_dim] table — halves the gather-row count,
+    # the dominant cost on TPU (gathers are issue-rate-bound).
+    fused = (
+        params.k0.num_freqs == params.density.num_freqs
+        and params.density.grid.shape[1:4] == params.k0.grid.shape[1:4]
+        and cfg.fourier_freq_num > 0
+    )
+    if fused:
+        from unboundednerfpytorch_tpu.fields.grids import nerf_pos_embed_coords
+        from unboundednerfpytorch_tpu.ops import interp as interp_ops
+
+        B = params.density.grid.shape[0]
+        mn = jnp.asarray(cfg.xyz_min)
+        mx = jnp.asarray(cfg.xyz_max)
+        coords = ((pts - mn) / (mx - mn)) * 2.0 - 1.0
+        bank_coords = nerf_pos_embed_coords(coords, cfg.fourier_freq_num)
+        c01 = (bank_coords + 1.0) * 0.5
+        vals = None
+        for b in range(B):
+            # per-bank fused [X,Y,Z,1+k0] table: one row gather serves both
+            # density and color features (halves the gather-row count)
+            table_b = jnp.concatenate(
+                [params.density.grid[b], params.k0.grid[b]], axis=-1
+            )
+            v = interp_ops.grid_sample_3d(table_b, c01[..., b, :])
+            vals = v if vals is None else vals + v
+        vals = vals / B
+        density = vals[..., 0]
+        k0 = vals[..., 1:]
+    else:
+        density = params.density(pts)[..., 0]
+
     alpha = activate_density(params, cfg, density, interval)
     if thres > 0:
         mask = mask & (alpha > thres)
@@ -284,7 +317,8 @@ def forward(
         mask = mask & (weights > thres)
         weights = weights * mask.astype(weights.dtype)
 
-    k0 = params.k0(pts)
+    if not fused:
+        k0 = params.k0(pts)
     if params.rgbnet is None:
         rgb = jax.nn.sigmoid(k0[..., :3])
     elif params.vd is not None:

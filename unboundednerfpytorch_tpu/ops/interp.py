@@ -18,9 +18,60 @@ import jax
 import jax.numpy as jnp
 
 
-def _corner_gather(flat_grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather rows from [XYZ, C] at flat indices idx [...] -> [..., C]."""
-    return jnp.take(flat_grid, idx, axis=0)
+def trilerp_corners(xyz01: jnp.ndarray, dims: tuple):
+    """Corner indices + weights for trilinear interpolation.
+
+    xyz01 [..., 3] in [0, 1] (align_corners=True mapping), dims (X, Y, Z).
+    Returns (flat_idx [..., 8] int32 clamped in-range,
+             w [..., 8] float with out-of-bounds corners zero-weighted).
+    """
+    X, Y, Z = dims
+    c = xyz01 * (jnp.asarray([X, Y, Z], xyz01.dtype) - 1)
+    c0 = jnp.floor(c)
+    f = c - c0
+    c0i = c0.astype(jnp.int32)
+
+    idx_list, w_list = [], []
+    for dx in (0, 1):
+        xi = c0i[..., 0] + dx
+        wx = f[..., 0] if dx else 1.0 - f[..., 0]
+        vx = (xi >= 0) & (xi < X)
+        for dy in (0, 1):
+            yi = c0i[..., 1] + dy
+            wy = f[..., 1] if dy else 1.0 - f[..., 1]
+            vy = (yi >= 0) & (yi < Y)
+            for dz in (0, 1):
+                zi = c0i[..., 2] + dz
+                wz = f[..., 2] if dz else 1.0 - f[..., 2]
+                vz = (zi >= 0) & (zi < Z)
+                w = wx * wy * wz * (vx & vy & vz).astype(xyz01.dtype)
+                flat = (
+                    jnp.clip(xi, 0, X - 1) * (Y * Z)
+                    + jnp.clip(yi, 0, Y - 1) * Z
+                    + jnp.clip(zi, 0, Z - 1)
+                )
+                idx_list.append(flat)
+                w_list.append(w)
+    return jnp.stack(idx_list, -1), jnp.stack(w_list, -1)
+
+
+def gather_trilerp(
+    flat_grid: jnp.ndarray, flat_idx: jnp.ndarray, w: jnp.ndarray
+) -> jnp.ndarray:
+    """Weighted 8-corner gather: out[...] = Σ_k w_k · flat_grid[idx_k].
+
+    Corner-by-corner takes (8 ops) rather than one [..., 8, C] mega-take:
+    TPU pads the channel axis to the 128-lane tile, so materializing all
+    corner rows at once blows memory 128/C-fold, while the gather cost is
+    dominated by the per-row marginal rate (not per-op overhead).
+    """
+    out_dtype = jnp.promote_types(flat_grid.dtype, jnp.float32)
+    out = None
+    for k in range(flat_idx.shape[-1]):
+        rows = jnp.take(flat_grid, flat_idx[..., k], axis=0, mode="clip")
+        contrib = rows.astype(out_dtype) * w[..., k : k + 1].astype(out_dtype)
+        out = contrib if out is None else out + contrib
+    return out
 
 
 def grid_sample_3d(grid: jnp.ndarray, xyz01: jnp.ndarray) -> jnp.ndarray:
@@ -37,52 +88,8 @@ def grid_sample_3d(grid: jnp.ndarray, xyz01: jnp.ndarray) -> jnp.ndarray:
       [..., C] interpolated values.
     """
     X, Y, Z, C = grid.shape
-    batch_shape = xyz01.shape[:-1]
-    pts = xyz01.reshape(-1, 3)
-
-    # Continuous voxel-space coordinates (align_corners=True mapping).
-    cx = pts[:, 0] * (X - 1)
-    cy = pts[:, 1] * (Y - 1)
-    cz = pts[:, 2] * (Z - 1)
-
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    z0 = jnp.floor(cz)
-    fx = cx - x0
-    fy = cy - y0
-    fz = cz - z0
-
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    z0i = z0.astype(jnp.int32)
-
-    flat = grid.reshape(X * Y * Z, C)
-
-    out = jnp.zeros((pts.shape[0], C), dtype=grid.dtype)
-    # 8 corners; mask out-of-bounds corners to zero (torch 'zeros' padding).
-    for dx in (0, 1):
-        wx = jnp.where(dx == 0, 1.0 - fx, fx)
-        xi = x0i + dx
-        vx = (xi >= 0) & (xi < X)
-        for dy in (0, 1):
-            wy = jnp.where(dy == 0, 1.0 - fy, fy)
-            yi = y0i + dy
-            vy = (yi >= 0) & (yi < Y)
-            for dz in (0, 1):
-                wz = jnp.where(dz == 0, 1.0 - fz, fz)
-                zi = z0i + dz
-                vz = (zi >= 0) & (zi < Z)
-                valid = vx & vy & vz
-                w = (wx * wy * wz) * valid.astype(grid.dtype)
-                # Clamp for safe gather; the weight is already zeroed.
-                flat_idx = (
-                    jnp.clip(xi, 0, X - 1) * (Y * Z)
-                    + jnp.clip(yi, 0, Y - 1) * Z
-                    + jnp.clip(zi, 0, Z - 1)
-                )
-                out = out + _corner_gather(flat, flat_idx) * w[:, None]
-
-    return out.reshape(*batch_shape, C)
+    idx, w = trilerp_corners(xyz01, (X, Y, Z))
+    return gather_trilerp(grid.reshape(X * Y * Z, C), idx, w)
 
 
 def grid_sample_2d(plane: jnp.ndarray, xy01: jnp.ndarray) -> jnp.ndarray:

@@ -18,7 +18,17 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
     from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
     from unboundednerfpytorch_tpu.utils import metrics as M
 
+    # block path (run_render.py:146-207): prefer a merged ckpt; without one,
+    # but with per-block ckpts, render each block's train slice separately
+    merged = os.path.join(exp_dir, "fine_last_merged")
+    block0 = os.path.join(exp_dir, "fine_last_0")
     path = os.path.join(exp_dir, "fine_last")
+    if os.path.exists(os.path.join(merged, "meta.json")):
+        path = merged
+    elif not os.path.exists(os.path.join(path, "meta.json")) and os.path.exists(
+        os.path.join(block0, "meta.json")
+    ):
+        return run_render_blocks(args, cfg, data_dict, exp_dir)
     family, mcfg, params, _, _ = ckpt.load_model(path)
     render_kwargs = {
         "near": float(data_dict["near"]),
@@ -106,6 +116,64 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             )
         if out["psnrs"]:
             print(f"{name}: psnr {np.mean(out['psnrs']):.2f}")
+
+
+def run_render_blocks(args, cfg, data_dict, exp_dir: str) -> None:
+    """Per-block rendering path (run_render.py:146-207): load each block's
+    fine_last_{i}, render its slice of the train views, concatenate into one
+    video."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from unboundednerfpytorch_tpu.train.loop import make_forward
+    from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
+    from unboundednerfpytorch_tpu.utils import metrics as M
+
+    block_paths = sorted(glob.glob(os.path.join(exp_dir, "fine_last_[0-9]*")))
+    i_train = np.asarray(data_dict["i_train"])
+    per_block = int(np.ceil(len(i_train) / max(len(block_paths), 1)))
+    render_kwargs = {
+        "near": float(data_dict["near"]),
+        "far": float(data_dict["far"]),
+        "bg": 1.0 if cfg.data.white_bkgd else 0.0,
+        "stepsize": cfg.fine_model_and_render.stepsize,
+    }
+    all_rgbs, psnrs = [], []
+    for b, path in enumerate(block_paths):
+        family, mcfg, params, _, _ = ckpt.load_model(path)
+        fwd_core = make_forward(family, mcfg, render_kwargs)
+        fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None)
+        idx = i_train[b * per_block : (b + 1) * per_block]
+        if idx.size == 0:
+            continue
+        out = render_viewpoints(
+            fwd,
+            poses=np.asarray(data_dict["poses"])[idx],
+            HW=np.asarray(data_dict["HW"])[idx],
+            Ks=np.asarray(data_dict["Ks"])[idx],
+            gt_imgs=(
+                np.asarray(data_dict["images"])[idx]
+                if data_dict.get("images") is not None else None
+            ),
+            ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+            flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+            verbose=False,
+        )
+        all_rgbs.append(out["rgbs"])
+        psnrs.extend(out["psnrs"])
+        print(f"block {b}: rendered {len(idx)} views")
+    if all_rgbs:
+        import imageio.v2 as imageio
+
+        video = np.concatenate(all_rgbs)
+        imageio.mimwrite(
+            os.path.join(exp_dir, "render_blocks.mp4"), M.to8b(video),
+            fps=15, quality=8,
+        )
+        if psnrs:
+            print(f"blocks: psnr {np.mean(psnrs):.2f}")
 
 
 def export_coarse_geometry(cfg, exp_dir: str) -> None:

@@ -104,6 +104,9 @@ def load_model(path: str, key=None):
     template = mod.create(cfg, key if key is not None else jax.random.PRNGKey(0))
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         params = serialization.from_bytes(template, f.read())
+    # from_bytes yields numpy leaves; promote to device arrays so restored
+    # models are jit-traceable (numpy arrays can't be indexed by tracers)
+    params = jax.tree.map(jnp.asarray, params)
     opt_state = None
     opt_path = os.path.join(path, "opt_state.msgpack")
     if meta.get("has_opt_state") and os.path.exists(opt_path):
