@@ -157,6 +157,20 @@ class ExpConfig:
     )
 
 
+def normalize_fast_color_thres(cfg_model: "ModelRenderConfig"):
+    """Return (initial_thres: float, schedule: tuple[(step, thres)]) whatever
+    form fast_color_thres takes — scalar, dict (direct construction), or the
+    already-split schedule field."""
+    fct = cfg_model.fast_color_thres
+    sched = dict(cfg_model.fast_color_thres_schedule or ())
+    if isinstance(fct, (dict, tuple)) and not isinstance(fct, (int, float)):
+        d = dict(fct)
+        d.pop("_delete_", None)
+        sched = {int(k): float(v) for k, v in d.items()}
+        fct = sched.get(0, 0.0)
+    return float(fct), tuple(sorted(sched.items()))
+
+
 def _freeze(value):
     """dict -> sorted tuple items, list -> tuple (hashable config leaves)."""
     if isinstance(value, dict):

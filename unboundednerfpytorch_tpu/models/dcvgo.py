@@ -111,7 +111,9 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels) -> DCVGOConfig:
         num_voxels=num_voxels,
         num_voxels_base=cfg_model.num_voxels_base_rgb,
         alpha_init=cfg_model.alpha_init,
-        fast_color_thres=cfg_model.fast_color_thres,
+        fast_color_thres=__import__(
+            "unboundednerfpytorch_tpu.configs.schema", fromlist=["x"]
+        ).normalize_fast_color_thres(cfg_model)[0],
         bg_len=cfg_model.bg_len,
         contracted_norm=cfg_model.contracted_norm,
         density_type=cfg_model.density_type,

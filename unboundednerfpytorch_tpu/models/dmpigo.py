@@ -72,7 +72,9 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels) -> DMPIGOConfig:
         xyz_max=tuple(float(v) for v in xyz_max),
         num_voxels=num_voxels,
         mpi_depth=cfg_model.mpi_depth,
-        fast_color_thres=cfg_model.fast_color_thres,
+        fast_color_thres=__import__(
+            "unboundednerfpytorch_tpu.configs.schema", fromlist=["x"]
+        ).normalize_fast_color_thres(cfg_model)[0],
         density_type=cfg_model.density_type,
         k0_type=cfg_model.k0_type,
         rgbnet_dim=cfg_model.rgbnet_dim,

@@ -147,11 +147,9 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         num_voxels_base_rgb=cfg_model.num_voxels_base_rgb,
         num_voxels_viewdir=cfg_model.num_voxels_viewdir,
         alpha_init=cfg_model.alpha_init,
-        fast_color_thres=(
-            cfg_model.fast_color_thres
-            if not cfg_model.fast_color_thres_schedule
-            else dict(cfg_model.fast_color_thres_schedule).get(0, 0.0)
-        ),
+        fast_color_thres=__import__(
+            "unboundednerfpytorch_tpu.configs.schema", fromlist=["x"]
+        ).normalize_fast_color_thres(cfg_model)[0],
         bg_len=cfg_model.bg_len,
         contracted_norm=cfg_model.contracted_norm,
         fourier_freq_num=cfg_model.fourier_freq_num,

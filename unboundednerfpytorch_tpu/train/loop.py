@@ -74,7 +74,9 @@ def build_model(
         num_voxels=num_voxels_rgb,
         num_voxels_base=cfg_model.num_voxels_base_rgb,
         alpha_init=cfg_model.alpha_init,
-        fast_color_thres=cfg_model.fast_color_thres,
+        fast_color_thres=__import__(
+            "unboundednerfpytorch_tpu.configs.schema", fromlist=["x"]
+        ).normalize_fast_color_thres(cfg_model)[0],
         density_type=cfg_model.density_type,
         k0_type=cfg_model.k0_type,
         density_config=cfg_model.density_config,
@@ -334,7 +336,9 @@ def scene_rep_reconstruction(
     pg_scale = list(cfg_train.pg_scale)
     # step-keyed fast_color_thres schedule (FourierGrid_model.py:561-564):
     # a threshold change alters the static config -> re-jit boundary.
-    thres_schedule = dict(cfg_model.fast_color_thres_schedule or ())
+    from unboundednerfpytorch_tpu.configs.schema import normalize_fast_color_thres
+
+    thres_schedule = dict(normalize_fast_color_thres(cfg_model)[1])
 
     for global_step in range(1 + start_step, n_iters + 1):
         if global_step in thres_schedule and hasattr(mcfg, "fast_color_thres"):
