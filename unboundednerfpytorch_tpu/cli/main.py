@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_ssim", action="store_true", default=True)
     p.add_argument("--eval_lpips", action="store_true")
     p.add_argument("--i_print", type=int, default=500)
+    p.add_argument("--i_weights", type=int, default=0,
+                   help="periodic checkpoint cadence in steps (0 = stage end only)")
     p.add_argument("--dump_images", action="store_true")
     return p
 
@@ -84,7 +86,7 @@ def main(argv=None) -> int:
             return 0
         family, mcfg, params, psnr = loop.run_train(
             cfg, data_dict, seed=args.seed, exp_dir=exp_dir,
-            no_reload=args.no_reload,
+            no_reload=args.no_reload, save_every=args.i_weights,
         )
         ckpt.save_model(os.path.join(exp_dir, "fine_last"), family, mcfg, params)
         print(f"train finished: psnr {psnr:.2f}")

@@ -371,6 +371,28 @@ def scene_rep_reconstruction(
                 f"{stage} iter {global_step:6d} / loss {float(m['loss']):.6f} / "
                 f"psnr {last_psnr:5.2f} / {eps:6.1f}s"
             )
+            if exp_dir is not None:
+                import json as _json
+                import os as _os
+
+                with open(_os.path.join(exp_dir, f"{stage}_metrics.jsonl"), "a") as f:
+                    f.write(_json.dumps({
+                        "step": global_step,
+                        "loss": float(m["loss"]),
+                        "psnr": last_psnr,
+                        "elapsed_s": round(eps, 2),
+                    }) + "\n")
+        # periodic checkpoint (the reference's --i_weights cadence)
+        if (save_every and exp_dir is not None
+                and global_step % save_every == 0 and global_step < n_iters):
+            import os as _os
+
+            from unboundednerfpytorch_tpu.utils import checkpoint as _ckpt
+
+            _ckpt.save_model(
+                _os.path.join(exp_dir, f"{stage}_last"), family, mcfg,
+                state.params, global_step=global_step,
+            )
         if callback is not None:
             callback(global_step, metrics)
 
@@ -430,7 +452,8 @@ def run_train_blocks(
 
 
 def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
-              exp_dir: str | None = None, no_reload: bool = False):
+              exp_dir: str | None = None, no_reload: bool = False,
+              save_every: int = 0):
     """Full two-stage recipe (run_train.py:336-398). Returns the fine model."""
     xyz_min_c, xyz_max_c = bbox_mod.compute_bbox_by_cam_frustrm(
         cfg, data_dict, model_family_name(cfg)
@@ -441,6 +464,7 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
             cfg, cfg.coarse_model_and_render, cfg.coarse_train,
             xyz_min_c, xyz_max_c, data_dict, stage="coarse",
             seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
+            save_every=save_every,
         )
 
     if coarse_out is None or cfg.data.dataset_type == "waymo":
@@ -459,5 +483,6 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
         cfg, cfg.fine_model_and_render, cfg.fine_train,
         xyz_min_f, xyz_max_f, data_dict, stage="fine",
         seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
+        save_every=save_every,
     )
     return family, mcfg, params, psnr
