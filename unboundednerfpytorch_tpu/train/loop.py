@@ -322,8 +322,16 @@ def scene_rep_reconstruction(
     def compile_step(mcfg_now, params_now):
         fwd = make_forward(family, mcfg_now, render_kwargs)
         ws_max = float(max(mcfg_now.world_size))
+        tv_axis_scale = None
+        if family == "dmpigo":
+            # dmpigo scales xy by plane resolution and z by mpi_depth
+            # (dmpigo.py:210-217)
+            ws = mcfg_now.world_size
+            wxy = float(max(ws[:2])) / 128.0
+            tv_axis_scale = (wxy, wxy, float(mcfg_now.mpi_depth) / 128.0)
         core = make_train_step(
-            fwd, cfg_train, world_size_max=ws_max, near_thres=near_thres
+            fwd, cfg_train, world_size_max=ws_max, near_thres=near_thres,
+            tv_axis_scale=tv_axis_scale,
         )
         return make_sampled_step(core, cfg_train.N_rand)
 

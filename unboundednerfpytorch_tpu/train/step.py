@@ -46,12 +46,35 @@ def create_train_state(params, train_cfg: TrainStageConfig, start_step: int = 0)
     )
 
 
+def _tensorf_tv_loss(sub, wx: float, wy: float, wz: float):
+    """Smooth-L1 TV over the TensoRF planes/vectors (reference grid.py:146-160;
+    loss-based there — its grad is injected like the dense-grid TV)."""
+
+    def sl1(d):
+        a = jnp.abs(d)
+        return jnp.sum(jnp.where(a < 1.0, 0.5 * d * d, a - 0.5))
+
+    loss = (
+        wx * sl1(sub.xy_plane[1:] - sub.xy_plane[:-1])
+        + wy * sl1(sub.xy_plane[:, 1:] - sub.xy_plane[:, :-1])
+        + wx * sl1(sub.xz_plane[1:] - sub.xz_plane[:-1])
+        + wz * sl1(sub.xz_plane[:, 1:] - sub.xz_plane[:, :-1])
+        + wy * sl1(sub.yz_plane[1:] - sub.yz_plane[:-1])
+        + wz * sl1(sub.yz_plane[:, 1:] - sub.yz_plane[:, :-1])
+        + wx * sl1(sub.x_vec[1:] - sub.x_vec[:-1])
+        + wy * sl1(sub.y_vec[1:] - sub.y_vec[:-1])
+        + wz * sl1(sub.z_vec[1:] - sub.z_vec[:-1])
+    )
+    return loss / 6.0
+
+
 def make_train_step(
     forward_fn: Callable[..., RenderResult],
     train_cfg: TrainStageConfig,
     *,
     n_rand: int | None = None,
     world_size_max: float = 128.0,
+    tv_axis_scale: tuple | None = None,
     near_thres: float = 0.0,
     donate: bool = True,
 ):
@@ -105,6 +128,9 @@ def make_train_step(
             & (step % train_cfg.tv_every == 0)
         )
         dense = step < train_cfg.tv_dense_before
+        sx, sy, sz = tv_axis_scale or (
+            world_size_max / 128.0,
+        ) * 3
         for name, weight in (
             ("density", train_cfg.weight_tv_density),
             ("k0", train_cfg.weight_tv_k0),
@@ -112,14 +138,25 @@ def make_train_step(
             if weight <= 0 or name not in grads:
                 continue
             sub = trainable[name]
-            if not hasattr(sub, "grid"):
-                continue  # TensoRF TV handled separately (loss-based)
-            w = weight / n_rays * world_size_max / 128.0
-            g = grads[name].grid
-            tvg = tv_ops.total_variation_grad(sub.grid, w, w, w, dense_mode=True)
-            keep = dense | (g != 0)
-            tvg = jnp.where(keep, tvg, 0.0) * gate.astype(g.dtype)
-            grads[name] = grads[name].replace(grid=g + tvg)
+            base_w = weight / n_rays
+            if hasattr(sub, "grid"):
+                g = grads[name].grid
+                tvg = tv_ops.total_variation_grad(
+                    sub.grid, base_w * sx, base_w * sy, base_w * sz,
+                    dense_mode=True,
+                )
+                keep = dense | (g != 0)
+                tvg = jnp.where(keep, tvg, 0.0) * gate.astype(g.dtype)
+                grads[name] = grads[name].replace(grid=g + tvg)
+            elif hasattr(sub, "xy_plane"):
+                # TensoRF: inject the smooth-L1 TV loss gradient
+                tv_grads = jax.grad(_tensorf_tv_loss)(
+                    sub, base_w * sx, base_w * sy, base_w * sz
+                )
+                scale = gate.astype(jnp.float32)
+                grads[name] = jax.tree.map(
+                    lambda g_, t: g_ + scale * t, grads[name], tv_grads
+                )
         return grads
 
     def train_step(state: TrainState, batch: dict, key: jax.Array):
