@@ -1,0 +1,95 @@
+"""Multi-device scaling benchmark: train-step throughput (rays/s) at 1..N
+devices on a data mesh, reporting scaling efficiency (BASELINE: >85% at 2+
+hosts).
+
+On real pods run as-is (jax.distributed.initialize happens automatically
+under multi-host launchers). Without TPU hardware it runs on virtual CPU
+devices (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
+to validate the mechanism; CPU numbers are not representative.
+
+Prints one JSON line per device count + a final efficiency line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unboundednerfpytorch_tpu.configs.schema import ModelRenderConfig, TrainStageConfig
+    from unboundednerfpytorch_tpu.models import fourier_grid as fg
+    from unboundednerfpytorch_tpu.parallel import mesh as mesh_mod
+    from unboundednerfpytorch_tpu.train.step import create_train_state, make_train_step
+
+    n_avail = len(jax.devices())
+    mr = ModelRenderConfig(
+        num_voxels_rgb=64**3, num_voxels_density=64**3,
+        num_voxels_base_rgb=64**3, num_voxels_base_density=64**3,
+        rgbnet_dim=8, alpha_init=1e-2, fast_color_thres=1e-4,
+        fourier_freq_num=2, bg_len=0.2, stepsize=1.0,
+    )
+    cfg = fg.config_from(mr, (-3, -3, -3), (3, 3, 3), 64**3, 64**3)
+    tc = TrainStageConfig(
+        N_rand=4096, pervoxel_lr=False,
+        skip_zero_grad_fields=("density", "k0"),
+        weight_entropy_last=0.001, weight_rgbper=0.01, weight_distortion=0.01,
+    )
+
+    def fwd(p, ro, rd, vd, key, img_index=None):
+        return fg.forward(p, cfg, ro, rd, vd, bg=1.0)
+
+    step = make_train_step(
+        fwd, tc, world_size_max=float(max(cfg.world_size_density)), donate=False
+    )
+
+    per_device_rays = 512
+    results = {}
+    counts = [n for n in (1, 2, 4, 8) if n <= n_avail]
+    for n_dev in counts:
+        mesh = mesh_mod.make_mesh(n_dev)
+        params = fg.create(cfg, jax.random.PRNGKey(0))
+        state = create_train_state(params, tc)
+        state = state.replace(params=mesh_mod.shard_params(mesh, state.params))
+        n_rays = per_device_rays * n_dev  # weak scaling: fixed work per device
+
+        def make_batch(seed):
+            k = jax.random.PRNGKey(seed)
+            ro = jax.random.uniform(k, (n_rays, 3), minval=1.5, maxval=3.0)
+            rd = -ro
+            vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+            return mesh_mod.shard_batch(
+                mesh,
+                {"rgb": jnp.ones((n_rays, 3)) * 0.5, "rays_o": ro,
+                 "rays_d": rd, "viewdirs": vd},
+            )
+
+        jstep = jax.jit(step, donate_argnums=())
+        with mesh:
+            state, m = jstep(state, make_batch(0), jax.random.PRNGKey(1))
+            float(m["loss"])  # warm
+            reps = 4
+            t0 = time.perf_counter()
+            for r in range(reps):
+                state, m = jstep(state, make_batch(r + 1), jax.random.PRNGKey(r))
+                float(m["loss"])  # forces completion each step
+            dt = (time.perf_counter() - t0) / reps
+        rays_s = n_rays / dt
+        results[n_dev] = rays_s
+        print(json.dumps({
+            "devices": n_dev, "train_rays_per_s": round(rays_s, 1),
+            "s_per_step": round(dt, 4),
+        }), flush=True)
+
+    if len(results) > 1:
+        base = results[counts[0]] / counts[0]
+        eff = {n: round(results[n] / (n * base), 3) for n in counts}
+        print(json.dumps({"metric": "weak_scaling_efficiency", "value": eff}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""CLI end-to-end: run the real `run_unbounded.py` driver surface (config
+load → blender fixture load → two-stage train → checkpoint → auto-render →
+export programs) against a generated on-disk dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def blender_scene(tmp_path):
+    """Tiny on-disk blender dataset rendered from the synthetic sphere."""
+    import imageio.v2 as imageio
+
+    from unboundednerfpytorch_tpu.data import synthetic
+
+    H = W = 24
+    images, poses, K = synthetic.sphere_scene_images(8, H, W)
+    focal = K[0, 0]
+    camera_angle_x = 2 * np.arctan(W / (2 * focal))
+    splits = {"train": range(0, 6), "val": range(6, 7), "test": range(7, 8)}
+    for split, idx in splits.items():
+        frames = []
+        for i in idx:
+            name = f"r_{i}"
+            rgba = np.concatenate(
+                [images[i], np.ones_like(images[i][..., :1])], -1
+            )
+            imageio.imwrite(
+                os.path.join(tmp_path, name + ".png"),
+                (rgba * 255).astype(np.uint8),
+            )
+            frames.append(
+                {"file_path": name, "transform_matrix": poses[i].tolist()}
+            )
+        with open(os.path.join(tmp_path, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": float(camera_angle_x), "frames": frames}, f)
+    return str(tmp_path)
+
+
+@pytest.mark.slow
+def test_cli_train_render_export(blender_scene, tmp_path):
+    from unboundednerfpytorch_tpu.cli.main import main
+
+    cfg_path = os.path.join(tmp_path, "scene.py")
+    logs = os.path.join(tmp_path, "logs")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+expname = 'cli_e2e'
+basedir = {logs!r}
+
+data = dict(
+    datadir={blender_scene!r},
+    dataset_type='blender',
+    white_bkgd=True,
+)
+
+coarse_train = dict(N_iters=20, N_rand=128, pervoxel_lr=False)
+
+fine_train = dict(
+    N_iters=40, N_rand=128, pervoxel_lr=False, pg_scale=[],
+    ray_sampler='flatten',
+    skip_zero_grad_fields=['density', 'k0'],
+)
+
+coarse_model_and_render = dict(
+    num_voxels_rgb=16**3, num_voxels_density=16**3,
+    num_voxels_base_rgb=16**3, num_voxels_base_density=16**3,
+    maskout_near_cam_vox=False,
+)
+
+fine_model_and_render = dict(
+    num_voxels_rgb=20**3, num_voxels_density=20**3,
+    num_voxels_base_rgb=20**3, num_voxels_base_density=20**3,
+    rgbnet_dim=4, alpha_init=1e-2, maskout_near_cam_vox=False,
+)
+""")
+    # train (auto-renders test split afterwards, reference behavior)
+    rc = main(["--config", cfg_path, "--program", "train", "--dump_images"])
+    assert rc == 0 or rc is None
+    exp = os.path.join(logs, "cli_e2e")
+    assert os.path.exists(os.path.join(exp, "fine_last", "meta.json"))
+    assert os.path.exists(os.path.join(exp, "args.txt"))
+
+    # export programs
+    main(["--config", cfg_path, "--program", "export_bbox"])
+    assert os.path.exists(os.path.join(exp, "cam.npz"))
+    bbox = np.load(os.path.join(exp, "cam.npz"))
+    assert np.all(bbox["xyz_max"] > bbox["xyz_min"])
+
+    main(["--config", cfg_path, "--program", "export_coarse"])
+    assert os.path.exists(os.path.join(exp, "coarse_volume.npz"))
+
+    main(["--config", cfg_path, "--program", "gen_trace"])
+    assert os.path.exists(os.path.join(exp, "render_poses.json"))
