@@ -21,6 +21,37 @@ from unboundednerfpytorch_tpu.utils import metrics as M
 
 DEFAULT_CHUNK = 8192  # the reference's render chunk (run_render.py:54)
 
+_BATCHED_CACHE: dict = {}
+
+
+def _batched_renderer(forward_fn, chunk: int, n_chunks: int):
+    """Jitted whole-image renderer, cached per (forward_fn, chunk, n_chunks)
+    so repeated views reuse the executable."""
+    key = (id(forward_fn), chunk, n_chunks)
+    if key in _BATCHED_CACHE:
+        return _BATCHED_CACHE[key]
+
+    @jax.jit
+    def render_all(ro, rd, vd):
+        def one(c):
+            res = forward_fn(c[0], c[1], c[2])
+            return res.rgb_marched, res.depth, res.alphainv_last
+
+        return jax.lax.map(
+            one,
+            (
+                ro.reshape(n_chunks, chunk, 3),
+                rd.reshape(n_chunks, chunk, 3),
+                vd.reshape(n_chunks, chunk, 3),
+            ),
+        )
+
+    # bound the id()-keyed cache (function objects can be GC'd and ids reused)
+    if len(_BATCHED_CACHE) > 64:
+        _BATCHED_CACHE.clear()
+    _BATCHED_CACHE[key] = render_all
+    return render_all
+
 
 def render_image(
     forward_fn: Callable,
@@ -50,16 +81,16 @@ def render_image(
     if n_pad:
         pad = lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], n_pad, axis=0)])
         ro, rd, vd = pad(ro), pad(rd), pad(vd)
+    n_chunks = ro.shape[0] // chunk
 
-    rgbs, depths, bgws = [], [], []
-    for i in range(0, ro.shape[0], chunk):
-        res = forward_fn(ro[i : i + chunk], rd[i : i + chunk], vd[i : i + chunk])
-        rgbs.append(np.asarray(res.rgb_marched))
-        depths.append(np.asarray(res.depth))
-        bgws.append(np.asarray(res.alphainv_last))
-    rgb = np.concatenate(rgbs)[:n].reshape(H, W, 3)
-    depth = np.concatenate(depths)[:n].reshape(H, W)
-    bgw = np.concatenate(bgws)[:n].reshape(H, W)
+    # one dispatch for the whole image: lax.map over fixed-size chunks keeps
+    # the device busy and amortizes per-call dispatch latency (a host loop
+    # costs ~25ms/chunk through remote runtimes)
+    batched = _batched_renderer(forward_fn, chunk, n_chunks)
+    rgbs, depths, bgws = batched(ro, rd, vd)
+    rgb = np.asarray(rgbs).reshape(-1, 3)[:n].reshape(H, W, 3)
+    depth = np.asarray(depths).reshape(-1)[:n].reshape(H, W)
+    bgw = np.asarray(bgws).reshape(-1)[:n].reshape(H, W)
     return rgb, depth, bgw
 
 
@@ -84,14 +115,13 @@ def render_viewpoints(
 
     Returns dict(rgbs, depths, bgmaps, psnrs, ssims, lpips).
     """
-    jfwd = jax.jit(forward_fn)
     rgbs, depths, bgmaps = [], [], []
     psnrs, ssims, lpips_vals = [], [], []
     for i, c2w in enumerate(np.asarray(poses)):
         H, W = (int(v) for v in np.asarray(HW)[i])
         K = np.asarray(Ks)[i]
         rgb, depth, bgw = render_image(
-            jfwd, H, W, K, c2w[:3, :4],
+            forward_fn, H, W, K, c2w[:3, :4],
             ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y, chunk=chunk,
         )
         rgbs.append(rgb)
