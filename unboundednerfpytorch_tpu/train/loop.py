@@ -212,6 +212,7 @@ def scene_rep_reconstruction(
     exp_dir: str | None = None,
     no_reload: bool = False,
     save_every: int = 0,
+    coarse_mask_fn=None,
 ):
     """One training stage; returns (family, model config, trained params, psnr)."""
     # world_bound_scale bbox inflation (run_train.py:100-104)
@@ -244,6 +245,13 @@ def scene_rep_reconstruction(
         family, mcfg, params = build_model(
             cfg, cfg_model, cfg_train, xyz_min, xyz_max, k_model
         )
+        if coarse_mask_fn is not None and hasattr(params, "mask_cache"):
+            mask = coarse_mask_fn(
+                params.mask_cache.mask.shape, mcfg.xyz_min, mcfg.xyz_max
+            )
+            params = params.replace(
+                mask_cache=params.mask_cache.replace(mask=mask)
+            )
 
     if cfg_model.maskout_near_cam_vox and family == "dvgo" and start_step == 0:
         cam_o = jnp.asarray(
@@ -348,6 +356,14 @@ def scene_rep_reconstruction(
 
     thres_schedule = dict(normalize_fast_color_thres(cfg_model)[1])
 
+    # training-time sample budget: the occupancy cache is all-True at init
+    # (budget would truncate rays arbitrarily), so hold the budget at 0 until
+    # the first pg_scale boundary refreshes occupancy from trained density
+    deferred_budget = 0
+    if getattr(mcfg, "sample_budget", 0) > 0 and cfg_train.pg_scale:
+        deferred_budget = mcfg.sample_budget
+        mcfg = dataclasses.replace(mcfg, sample_budget=0)
+
     for global_step in range(1 + start_step, n_iters + 1):
         if global_step in thres_schedule and hasattr(mcfg, "fast_color_thres"):
             new_thres = float(thres_schedule[global_step])
@@ -363,6 +379,11 @@ def scene_rep_reconstruction(
             params = params.replace(
                 act_shift=params.act_shift - cfg_train.decay_after_scale
             )
+            if deferred_budget:
+                # occupancy just refreshed from trained density -> the
+                # fixed-budget compaction is now safe; enable it
+                mcfg = dataclasses.replace(mcfg, sample_budget=deferred_budget)
+                deferred_budget = 0
             # optimizer rebuilt from scratch at the boundary (run_train.py:199)
             state = create_train_state(params, cfg_train, start_step=global_step - 1)
             step_fn = compile_step(mcfg, params)
@@ -485,12 +506,26 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
             lambda d: dvgo.activate_density(params_c, mcfg_c, d),
             cfg.fine_model_and_render.bbox_thres,
         )
-        coarse_mask = None  # TODO: derive fine mask_cache from coarse ckpt
+        # fine-stage occupancy from the coarse solution (the reference's
+        # mask_cache_path ckpt reload, grid.py:210-220): pooled coarse alpha
+        # thresholded at mask_cache_thres, evaluated on the fine world grid
+        def coarse_mask_fn(fine_world_size, fine_xyz_min, fine_xyz_max):
+            from unboundednerfpytorch_tpu.ops import interp as interp_ops
+
+            axes = [jnp.linspace(mn, mx, int(n)) for mn, mx, n in
+                    zip(fine_xyz_min, fine_xyz_max, fine_world_size)]
+            xyz = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), -1)
+            density = params_c.density(xyz)[..., 0]
+            alpha = dvgo.activate_density(params_c, mcfg_c, density)
+            pooled = interp_ops.max_pool_3d_same(alpha)
+            return pooled >= cfg.fine_model_and_render.mask_cache_thres
+
+        coarse_mask = coarse_mask_fn
 
     family, mcfg, params, psnr = scene_rep_reconstruction(
         cfg, cfg.fine_model_and_render, cfg.fine_train,
         xyz_min_f, xyz_max_f, data_dict, stage="fine",
         seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
-        save_every=save_every,
+        save_every=save_every, coarse_mask_fn=coarse_mask,
     )
     return family, mcfg, params, psnr
