@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--i_weights", type=int, default=0,
                    help="periodic checkpoint cadence in steps (0 = stage end only)")
     p.add_argument("--dump_images", action="store_true")
+    p.add_argument("--style_root", default="",
+                   help="ARF style image dir (enables stylized rendering)")
+    p.add_argument("--style_id", default="0")
     return p
 
 

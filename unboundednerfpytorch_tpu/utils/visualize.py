@@ -1,0 +1,85 @@
+"""Camera / scene visualization (matplotlib-based).
+
+Replaces the reference's open3d viewers (``data_preprocess/visualize_cameras
+.py``, ``tools/vis_train.py``, ``block_nerf/block_visualize.py``) with
+headless matplotlib renders (open3d is not available in this environment):
+camera frusta + scene bbox to PNG, and block-split top-down maps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _frustum_points(c2w: np.ndarray, scale: float = 0.1, aspect: float = 0.75):
+    """5 points of a camera frustum (apex + 4 image-plane corners) in world."""
+    w = scale
+    h = scale * aspect
+    d = scale * 1.5
+    corners = np.array(
+        [[0, 0, 0], [-w, -h, -d], [w, -h, -d], [w, h, -d], [-w, h, -d]]
+    )
+    return corners @ c2w[:3, :3].T + c2w[:3, 3]
+
+
+def plot_cameras(
+    poses: np.ndarray,
+    out_path: str,
+    xyz_min=None,
+    xyz_max=None,
+    color: str = "tab:blue",
+    title: str = "cameras",
+) -> None:
+    """3D plot of camera frusta (+ optional scene bbox) to a PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    scale = 0.05 * float(
+        np.linalg.norm(np.asarray(poses)[:, :3, 3].max(0) - np.asarray(poses)[:, :3, 3].min(0))
+        + 1e-6
+    )
+    for c2w in np.asarray(poses):
+        pts = _frustum_points(c2w[:3, :4], scale=max(scale, 1e-3))
+        for i in range(1, 5):
+            ax.plot(*zip(pts[0], pts[i]), color=color, lw=0.5)
+        loop = [1, 2, 3, 4, 1]
+        ax.plot(pts[loop, 0], pts[loop, 1], pts[loop, 2], color=color, lw=0.5)
+    if xyz_min is not None and xyz_max is not None:
+        mn, mx = np.asarray(xyz_min), np.asarray(xyz_max)
+        for s, e in [
+            ([mn[0], mn[1], mn[2]], [mx[0], mn[1], mn[2]]),
+            ([mn[0], mn[1], mn[2]], [mn[0], mx[1], mn[2]]),
+            ([mn[0], mn[1], mn[2]], [mn[0], mn[1], mx[2]]),
+            ([mx[0], mx[1], mx[2]], [mn[0], mx[1], mx[2]]),
+            ([mx[0], mx[1], mx[2]], [mx[0], mn[1], mx[2]]),
+            ([mx[0], mx[1], mx[2]], [mx[0], mx[1], mn[2]]),
+        ]:
+            ax.plot(*zip(s, e), color="tab:red", lw=1.0)
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_block_split(blocks: dict, out_path: str) -> None:
+    """Top-down (x, y) map of block centroids + member camera origins
+    (the block_visualize.py equivalent)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    cmap = plt.get_cmap("tab20")
+    for i, (name, info) in enumerate(blocks.items()):
+        c = cmap(i % 20)
+        centroid = np.asarray(info["centroid"])
+        ax.scatter(*centroid[:2], color=c, marker="*", s=200, zorder=3)
+        ax.annotate(name, centroid[:2])
+    ax.set_aspect("equal")
+    ax.set_title("block split (top-down)")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
