@@ -63,7 +63,13 @@ def sample_metadata_by_idxs(metadata: dict, sample_idxs, val_num: int = 5) -> di
     return metadata
 
 
-def sample_metadata_by_training_ids(metadata: dict, training_ids) -> dict:
+def sample_metadata_by_training_ids(
+    metadata: dict, training_ids, assign_pos: dict | None = None,
+    assign_rot: dict | None = None,
+) -> dict:
+    """Subset the train split to named images; optionally hand-reassign
+    positions and yzx-euler rotations per image (the reference's pose
+    hand-tuning hook, load_waymo.py:110-139)."""
     if not training_ids:
         return metadata
     files = metadata["train"]["file_path"]
@@ -75,6 +81,23 @@ def sample_metadata_by_training_ids(metadata: dict, training_ids) -> dict:
     assert keep, "No image selected by training ids"
     for k in metadata["train"]:
         metadata["train"][k] = _sample_list(metadata["train"][k], keep)
+    if assign_pos:
+        from scipy.spatial.transform import Rotation as R
+
+        files = metadata["train"]["file_path"]
+        for ele, pos in assign_pos.items():
+            fp = f"images_train/{ele}.png"
+            if fp not in files:
+                continue
+            i = files.index(fp)
+            metadata["train"]["position"][i] = list(pos)
+            c2w = np.array(metadata["train"]["cam2world"][i])
+            c2w[:3, 3] = np.asarray(pos)
+            if assign_rot and ele in assign_rot:
+                c2w[:3, :3] = R.from_euler(
+                    "yzx", assign_rot[ele], degrees=True
+                ).as_matrix()
+            metadata["train"]["cam2world"][i] = c2w.tolist()
     return metadata
 
 
