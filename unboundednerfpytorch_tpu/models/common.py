@@ -33,6 +33,9 @@ class RenderResult(NamedTuple):
     s: jnp.ndarray  # [N, S] normalized distance (1 - 1/(1+t)); == t for bounded
     depth: jnp.ndarray  # [N]
     n_max: int  # static sample count (for distortion interval)
+    # dcvgo extra: per-ray weight mass inside the foreground region
+    # (dcvgo.py:354-358); None for other families
+    wsum_mid: jnp.ndarray | None = None
 
 
 def act_shift_from_alpha_init(alpha_init: float) -> float:

@@ -233,6 +233,7 @@ def forward(
     t2 = jnp.broadcast_to(t, (N, S))
     s = 1.0 - 1.0 / (1.0 + t2)
     depth = jnp.sum(weights * s, axis=-1)
+    wsum_mid = jnp.sum(weights * inner.astype(weights.dtype), axis=-1)
 
     return common.RenderResult(
         rgb_marched=rgb_marched,
@@ -246,6 +247,7 @@ def forward(
         s=s,
         depth=depth,
         n_max=S,
+        wsum_mid=wsum_mid,
     )
 
 
