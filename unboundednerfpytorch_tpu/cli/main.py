@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="images per block for block training")
     p.add_argument("--running_block_id", type=int, default=-1)
     p.add_argument("--no_reload", action="store_true")
+    p.add_argument("--no_reload_optimizer", action="store_true",
+                   help="on resume, rebuild fresh Adam moments instead of "
+                        "restoring them (run_FourierGrid.py:36-37)")
     p.add_argument("--ft_path", default="")
     p.add_argument("--export_cam", action="store_true")
     p.add_argument("--export_geometry", action="store_true")
@@ -89,7 +92,9 @@ def main(argv=None) -> int:
             return 0
         family, mcfg, params, psnr = loop.run_train(
             cfg, data_dict, seed=args.seed, exp_dir=exp_dir,
-            no_reload=args.no_reload, save_every=args.i_weights,
+            no_reload=args.no_reload,
+            no_reload_optimizer=args.no_reload_optimizer,
+            save_every=args.i_weights,
         )
         ckpt.save_model(os.path.join(exp_dir, "fine_last"), family, mcfg, params)
         print(f"train finished: psnr {psnr:.2f}")

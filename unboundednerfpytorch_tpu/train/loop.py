@@ -126,10 +126,12 @@ def gather_training_rays(cfg: ExpConfig, data_dict: dict) -> dict:
     }
 
 
-def make_forward(family: str, mcfg, render_kwargs: dict) -> Callable:
+def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable:
     """Close the model family's forward over static config + render kwargs,
     exposing the uniform (params, ro, rd, vd, key, img_index) signature used
-    by the train step."""
+    by the train step. ``cache`` (FourierGrid only) is a pre-packed
+    RenderCache for the packed gather engine — pass it for rendering with
+    frozen params; training packs on the fly inside the step."""
     if family == "dvgo":
 
         def fwd(params, ro, rd, vd, key, img_index=None):
@@ -150,6 +152,7 @@ def make_forward(family: str, mcfg, render_kwargs: dict) -> Callable:
                 stepsize=render_kwargs["stepsize"],
                 rand_bkgd_key=key if render_kwargs.get("rand_bkgd") else None,
                 img_index=img_index,
+                cache=cache,
             )
 
         return fwd
@@ -211,6 +214,7 @@ def scene_rep_reconstruction(
     callback: Callable[[int, dict], None] | None = None,
     exp_dir: str | None = None,
     no_reload: bool = False,
+    no_reload_optimizer: bool = False,
     save_every: int = 0,
     coarse_mask_fn=None,
 ):
@@ -230,16 +234,23 @@ def scene_rep_reconstruction(
     # the stage's last checkpoint (run_train.py:112-136)
     start_step = 0
     reload_path = None
+    if exp_dir:
+        import os
+
+        os.makedirs(exp_dir, exist_ok=True)
     if exp_dir and not no_reload:
         import os
 
         cand = os.path.join(exp_dir, f"{stage}_last")
         if os.path.exists(os.path.join(cand, "meta.json")):
             reload_path = cand
+    opt_bytes = None
     if reload_path is not None:
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
 
-        family, mcfg, params, start_step, _ = ckpt_mod.load_model(reload_path)
+        family, mcfg, params, start_step, opt_bytes = ckpt_mod.load_model(reload_path)
+        if no_reload_optimizer:
+            opt_bytes = None  # --no_reload_optimizer (run_FourierGrid.py:36-37)
         log_fn(f"{stage}: resumed from {reload_path} at step {start_step}")
     else:
         family, mcfg, params = build_model(
@@ -290,7 +301,18 @@ def scene_rep_reconstruction(
             idx = np.nonzero(hit)[0]
             store = {k: v[idx] for k, v in store.items()}
 
-    state = create_train_state(params, cfg_train)
+    state = create_train_state(params, cfg_train, start_step=start_step)
+    if opt_bytes is not None:
+        # restore Adam moments so an interrupted run continues the same
+        # trajectory (run_train.py:313-331 optimizer_state_dict reload)
+        from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
+
+        state = state.replace(
+            opt_state=ckpt_mod.restore_opt_state(opt_bytes, state.opt_state)
+        )
+        state = state.replace(
+            opt_state=jax.tree.map(jnp.asarray, state.opt_state)
+        )
 
     # per-voxel learning rate from view counts (run_train.py:169-180)
     if (cfg_train.pervoxel_lr and family == "dvgo"
@@ -360,7 +382,10 @@ def scene_rep_reconstruction(
     # (budget would truncate rays arbitrarily), so hold the budget at 0 until
     # the first pg_scale boundary refreshes occupancy from trained density
     deferred_budget = 0
-    if getattr(mcfg, "sample_budget", 0) > 0 and cfg_train.pg_scale:
+    if (getattr(mcfg, "sample_budget", 0) > 0 and cfg_train.pg_scale
+            and start_step < min(cfg_train.pg_scale)):
+        # (skip the deferral when resuming past the first pg boundary: the
+        # occupancy cache was already refreshed in the interrupted run)
         deferred_budget = mcfg.sample_budget
         mcfg = dataclasses.replace(mcfg, sample_budget=0)
 
@@ -388,7 +413,10 @@ def scene_rep_reconstruction(
             state = create_train_state(params, cfg_train, start_step=global_step - 1)
             step_fn = compile_step(mcfg, params)
 
-        key, k_step = jax.random.split(key)
+        # fold_in (not sequential splits): step s gets the same key whether or
+        # not the run was interrupted, so kill-and-resume reproduces the exact
+        # trajectory of an uninterrupted run (given restored opt state).
+        k_step = jax.random.fold_in(key, global_step)
         state, metrics = step_fn(state, store, k_step)
 
         if global_step % log_every == 0 or global_step == n_iters:
@@ -421,6 +449,7 @@ def scene_rep_reconstruction(
             _ckpt.save_model(
                 _os.path.join(exp_dir, f"{stage}_last"), family, mcfg,
                 state.params, global_step=global_step,
+                opt_state=state.opt_state,
             )
         if callback is not None:
             callback(global_step, metrics)
@@ -432,7 +461,7 @@ def scene_rep_reconstruction(
 
         ckpt_mod.save_model(
             os.path.join(exp_dir, f"{stage}_last"), family, mcfg, state.params,
-            global_step=n_iters,
+            global_step=n_iters, opt_state=state.opt_state,
         )
     return family, mcfg, state.params, last_psnr
 
@@ -482,7 +511,7 @@ def run_train_blocks(
 
 def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
               exp_dir: str | None = None, no_reload: bool = False,
-              save_every: int = 0):
+              no_reload_optimizer: bool = False, save_every: int = 0):
     """Full two-stage recipe (run_train.py:336-398). Returns the fine model."""
     xyz_min_c, xyz_max_c = bbox_mod.compute_bbox_by_cam_frustrm(
         cfg, data_dict, model_family_name(cfg)
@@ -493,7 +522,7 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
             cfg, cfg.coarse_model_and_render, cfg.coarse_train,
             xyz_min_c, xyz_max_c, data_dict, stage="coarse",
             seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
-            save_every=save_every,
+            no_reload_optimizer=no_reload_optimizer, save_every=save_every,
         )
 
     if coarse_out is None or cfg.data.dataset_type == "waymo":
@@ -526,6 +555,7 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
         cfg, cfg.fine_model_and_render, cfg.fine_train,
         xyz_min_f, xyz_max_f, data_dict, stage="fine",
         seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
-        save_every=save_every, coarse_mask_fn=coarse_mask,
+        no_reload_optimizer=no_reload_optimizer, save_every=save_every,
+        coarse_mask_fn=coarse_mask,
     )
     return family, mcfg, params, psnr
