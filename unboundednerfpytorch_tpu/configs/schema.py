@@ -118,6 +118,13 @@ class ModelRenderConfig:
     # Grid parameter dtype ("float32" | "bfloat16"); bf16 halves the HBM
     # bandwidth of the trilinear gathers on the hot path.
     grid_dtype: str = "float32"
+    # Packed-corner gather engine (ops/packed.py): 1 gathered row per sample
+    # per bank instead of 8. Costs 8x grid memory for the packed tables;
+    # auto-disabled for grids past the memory guard.
+    packed_gather: bool = True
+    # Occupancy probe stride for the sample-budget pre-pass (see
+    # models/fourier_grid.FourierGridConfig.budget_probe_stride).
+    budget_probe_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,16 @@ class FourierGridConfig:
     # Replaces the reference's dynamic-shape compaction (SURVEY.md §7.3).
     sample_budget: int = 0
     grid_dtype: str = "float32"
+    # Packed-corner gather engine (ops/packed.py): one row gather per sample
+    # per bank instead of eight. Auto-disabled when the packed table would
+    # exceed the memory guard (large grids).
+    packed_gather: bool = True
+    # Occupancy probe stride for the budget pre-pass: test every k-th sample
+    # against the (3^3-dilated) mask cache and broadcast the result to the
+    # skipped neighbors. Conservative for stride<=2 at stepsize<=1 voxel
+    # (the dilation covers the skipped half-step); halves the pre-pass
+    # gather rows, which dominate once bank queries are packed.
+    budget_probe_stride: int = 1
 
     @property
     def xyz_min(self) -> tuple:
@@ -162,7 +172,70 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         t_boundary=cfg_model.t_boundary,
         sample_budget=getattr(cfg_model, "sample_budget", 0),
         grid_dtype=getattr(cfg_model, "grid_dtype", "float32"),
+        packed_gather=getattr(cfg_model, "packed_gather", True),
+        budget_probe_stride=getattr(cfg_model, "budget_probe_stride", 1),
     )
+
+
+@struct.dataclass
+class RenderCache:
+    """Pre-packed fused corner tables for rendering (frozen params): one
+    [T, 8*(1+k0_dim)] packed table per bank (ops/packed.py). Built once per
+    render session; amortizes the 8x pack cost across every chunk."""
+
+    tables: jnp.ndarray  # [B, (X+1)(Y+1)(Z+1), 8*Cf]
+
+
+# memory guards for the packed engine (bytes of one bank's packed table /
+# of the full cached table set)
+_PACK_BYTES_LIMIT = int(1.7e9)
+_CACHE_BYTES_LIMIT = int(9e9)
+
+
+def _fused_banks(params: "FourierGridParams", cfg: "FourierGridConfig") -> bool:
+    return (
+        params.k0.num_freqs == params.density.num_freqs
+        and params.density.grid.shape[1:4] == params.k0.grid.shape[1:4]
+        and cfg.fourier_freq_num > 0
+    )
+
+
+def _use_packed(params, cfg) -> bool:
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    if not (cfg.packed_gather and _fused_banks(params, cfg)):
+        return False
+    dims = params.density.grid.shape[1:4]
+    cf = 1 + cfg.k0_dim
+    itemsize = jnp.dtype(params.density.grid.dtype).itemsize
+    return packed_ops.packed_table_bytes(dims, cf, itemsize) <= _PACK_BYTES_LIMIT
+
+
+def build_render_cache(params, cfg) -> "RenderCache | None":
+    """Pack the fused density+k0 tables for all banks (rendering fast path).
+
+    Returns None when the packed engine does not apply (non-fused bank
+    structure, packing disabled, or tables too large to cache)."""
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    if not _use_packed(params, cfg):
+        return None
+    B = params.density.grid.shape[0]
+    dims = params.density.grid.shape[1:4]
+    cf = 1 + cfg.k0_dim
+    itemsize = jnp.dtype(params.density.grid.dtype).itemsize
+    if B * packed_ops.packed_table_bytes(dims, cf, itemsize) > _CACHE_BYTES_LIMIT:
+        return None
+
+    @jax.jit
+    def _build(density_grid, k0_grid):
+        def pack_bank(bank):
+            dg, kg = bank
+            return packed_ops.pack_corners(jnp.concatenate([dg, kg], axis=-1))
+
+        return jax.lax.map(pack_bank, (density_grid, k0_grid))
+
+    return RenderCache(tables=_build(params.density.grid, params.k0.grid))
 
 
 @struct.dataclass
@@ -247,6 +320,7 @@ def forward(
     rand_bkgd_key: jax.Array | None = None,
     img_index: jnp.ndarray | None = None,
     fast_color_thres: float | None = None,
+    cache: RenderCache | None = None,
 ) -> common.RenderResult:
     """Volume rendering (model:554-672). ``fast_color_thres`` overrides the
     config value (the step-keyed schedule is applied by the train loop)."""
@@ -264,42 +338,83 @@ def forward(
     if cfg.sample_budget > 0 and cfg.sample_budget < S:
         # occupancy-guided fixed-budget compaction: gather only the first
         # `budget` occupied samples per ray for the expensive bank queries
-        pre = params.mask_cache(pts)
+        stride = max(1, cfg.budget_probe_stride)
+        if stride > 1:
+            # strided probe against the dilated mask cache: every sample in a
+            # stride group shares its probe's verdict (conservative for
+            # stride<=2 with the 3^3 max-pool dilation)
+            pre_s = params.mask_cache(pts[:, ::stride])
+            pre = jnp.repeat(pre_s, stride, axis=1)[:, :S]
+        else:
+            pre = params.mask_cache(pts)
         sel, sel_mask = sampling.compact_samples(pre, cfg.sample_budget)
-        pts = sampling.gather_samples(pts, sel)
-        t2 = sampling.gather_samples(t2, sel)
-        inner = sampling.gather_samples(inner, sel)
+        # one fused gather for all per-sample tensors (gathers are
+        # issue-rate-bound: 1 wide take beats several narrow ones); `inner`
+        # is not consumed downstream of this point, so it is not gathered
+        stacked = jnp.concatenate([pts, t2[..., None]], axis=-1)
+        stacked = sampling.gather_samples(stacked, sel)
+        pts = stacked[..., :3]
+        t2 = stacked[..., 3]
         mask = sel_mask
         S = cfg.sample_budget
 
     # Fused field query: when density and k0 share resolution + bank
     # structure (the garden/default fine config), gather BOTH from one
     # concatenated [B*XYZ, 1+k0_dim] table — halves the gather-row count,
-    # the dominant cost on TPU (gathers are issue-rate-bound).
-    fused = (
-        params.k0.num_freqs == params.density.num_freqs
-        and params.density.grid.shape[1:4] == params.k0.grid.shape[1:4]
-        and cfg.fourier_freq_num > 0
-    )
+    # the dominant cost on TPU (gathers are issue-rate-bound). With the
+    # packed-corner engine (ops/packed.py) each sample further costs ONE
+    # gathered row per bank instead of eight.
+    fused = _fused_banks(params, cfg)
+    use_packed = _use_packed(params, cfg)
     if fused:
         from unboundednerfpytorch_tpu.fields.grids import nerf_pos_embed_coords
         from unboundednerfpytorch_tpu.ops import interp as interp_ops
+        from unboundednerfpytorch_tpu.ops import packed as packed_ops
 
         B = params.density.grid.shape[0]
+        dims = params.density.grid.shape[1:4]
+        cf = 1 + cfg.k0_dim
         mn = jnp.asarray(cfg.xyz_min)
         mx = jnp.asarray(cfg.xyz_max)
         coords = ((pts - mn) / (mx - mn)) * 2.0 - 1.0
         bank_coords = nerf_pos_embed_coords(coords, cfg.fourier_freq_num)
         c01 = (bank_coords + 1.0) * 0.5
-        vals = None
-        for b in range(B):
-            # per-bank fused [X,Y,Z,1+k0] table: one row gather serves both
-            # density and color features (halves the gather-row count)
-            table_b = jnp.concatenate(
-                [params.density.grid[b], params.k0.grid[b]], axis=-1
+        if use_packed and cache is not None:
+            # rendering: tables pre-packed once, one row gather per bank
+            c01b = jnp.moveaxis(c01, -2, 0)  # [B, N, S, 3]
+            vals = None
+            for b in range(B):
+                base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
+                v = packed_ops.packed_trilerp(cache.tables[b], base, w, cf)
+                vals = v if vals is None else vals + v
+        elif use_packed:
+            # training: pack per bank on the fly inside a scan (one packed
+            # table live at a time bounds memory; backward is one wide-row
+            # scatter per bank + a static 8-slice reduce through the pack)
+            c01b = jnp.moveaxis(c01, -2, 0)  # [B, N, S, 3]
+
+            def bank_body(carry, inp):
+                dg, kg, c_b = inp
+                table = packed_ops.pack_corners(
+                    jnp.concatenate([dg, kg], axis=-1)
+                )
+                base, w = packed_ops.corner_base_and_weights(c_b, dims)
+                return carry + packed_ops.packed_trilerp(table, base, w, cf), None
+
+            init = jnp.zeros((*c01b.shape[1:-1], cf), jnp.float32)
+            vals, _ = jax.lax.scan(
+                bank_body, init, (params.density.grid, params.k0.grid, c01b)
             )
-            v = interp_ops.grid_sample_3d(table_b, c01[..., b, :])
-            vals = v if vals is None else vals + v
+        else:
+            vals = None
+            for b in range(B):
+                # per-bank fused [X,Y,Z,1+k0] table: one row gather serves
+                # both density and color features
+                table_b = jnp.concatenate(
+                    [params.density.grid[b], params.k0.grid[b]], axis=-1
+                )
+                v = interp_ops.grid_sample_3d(table_b, c01[..., b, :])
+                vals = v if vals is None else vals + v
         vals = vals / B
         density = vals[..., 0]
         k0 = vals[..., 1:]

@@ -248,13 +248,16 @@ def compact_samples(
 
 
 def gather_samples(x: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-ray selected samples: x [N, S, ...] + sel [N, B] -> [N, B, ...]."""
-    if x.ndim == 2:
-        return jnp.take_along_axis(x, sel, axis=1)
-    extra = x.shape[2:]
-    idx = sel.reshape(sel.shape + (1,) * len(extra))
-    idx = jnp.broadcast_to(idx, sel.shape + extra)
-    return jnp.take_along_axis(x, idx, axis=1)
+    """Gather per-ray selected samples: x [N, S, ...] + sel [N, B] -> [N, B, ...].
+
+    Implemented as one flat row-gather (rows of the trailing dims) — on TPU
+    this runs ~3x faster than the equivalent take_along_axis lowering
+    (measured in tools/probe_gather.py)."""
+    n, s = x.shape[0], x.shape[1]
+    flat = x.reshape(n * s, *x.shape[2:])
+    idx = (jnp.arange(n, dtype=sel.dtype)[:, None] * s + sel).reshape(-1)
+    out = jnp.take(flat, idx, axis=0)
+    return out.reshape(n, sel.shape[1], *x.shape[2:])
 
 
 def scatter_samples(

@@ -36,7 +36,12 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
         "bg": 1.0 if cfg.data.white_bkgd else 0.0,
         "stepsize": cfg.fine_model_and_render.stepsize,
     }
-    fwd_core = make_forward(family, mcfg, render_kwargs)
+    cache = None
+    if family == "FourierGrid":
+        from unboundednerfpytorch_tpu.models import fourier_grid as fg
+
+        cache = fg.build_render_cache(params, mcfg)
+    fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
     fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None)
 
     # optional ARF stylization of the render set (run_render.py:119-122,170-172)
@@ -143,8 +148,13 @@ def run_render_blocks(args, cfg, data_dict, exp_dir: str) -> None:
     all_rgbs, psnrs = [], []
     for b, path in enumerate(block_paths):
         family, mcfg, params, _, _ = ckpt.load_model(path)
-        fwd_core = make_forward(family, mcfg, render_kwargs)
-        fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None)
+        cache = None
+        if family == "FourierGrid":
+            from unboundednerfpytorch_tpu.models import fourier_grid as fg
+
+            cache = fg.build_render_cache(params, mcfg)
+        fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
+        fwd = lambda ro, rd, vd, _p=params, _f=fwd_core: _f(_p, ro, rd, vd, None)
         idx = i_train[b * per_block : (b + 1) * per_block]
         if idx.size == 0:
             continue
