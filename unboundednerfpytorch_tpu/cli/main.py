@@ -28,10 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
             "render",
             "train",
             "gen_trace",
+            "linemod_eval",
             "sfm",
             "tune_pose",
         ],
     )
+    p.add_argument("--pose_preds", default="",
+                   help="linemod_eval: path to [N,3,4] predicted poses (.npy)")
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--sample_num", type=int, default=-1,
                    help="truncate dataset for fast debugging")
@@ -125,6 +128,26 @@ def main(argv=None) -> int:
         from unboundednerfpytorch_tpu.render import export_coarse_geometry
 
         export_coarse_geometry(cfg, exp_dir)
+        return 0
+    if args.program == "linemod_eval":
+        from unboundednerfpytorch_tpu.utils import pose_eval
+
+        seq = cfg.data.seq_name
+        seq_dir = os.path.join(cfg.data.datadir, seq)
+        model_pts = pose_eval.load_model_points(seq_dir)
+        gts = np.asarray(data_dict["object_poses"])[np.asarray(data_dict["i_test"])]
+        if args.pose_preds:
+            preds = np.load(args.pose_preds)
+        else:
+            preds = gts  # sanity mode: GT-vs-GT must score 1.0 everywhere
+        Ks = np.asarray(data_dict["Ks"])
+        summary = pose_eval.evaluate_linemod_sequence(
+            seq, model_pts, preds, gts, K=Ks[0]
+        )
+        out = os.path.join(exp_dir, "linemod_metrics.json")
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps({"sequence": seq, **summary}))
         return 0
     if args.program == "gen_trace":
         out = os.path.join(exp_dir, "render_poses.json")

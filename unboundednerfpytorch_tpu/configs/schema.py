@@ -44,6 +44,22 @@ class DataConfig:
     sort_by_cam_position: bool = False
     training_ids: tuple = ()
     test_ids: tuple = ()
+    # near/far/near_clip overrides (waymo/mega/linemod scene configs set
+    # these; None = use the loader's heuristic)
+    near: float | None = None
+    far: float | None = None
+    near_clip: float | None = None
+    # waymo camera/view subsetting + test trajectory controls
+    # (load_waymo.py:83-150, :343-345)
+    sample_cam: int = -1
+    sample_interval: int = 1
+    test_rotate_angle: int = 360
+    num_per_block: int = -1
+    # linemod sequences (configs/linemod/*): object name + crop bounds
+    seq_name: str = ""
+    seq_id: int = -1
+    width_max: int = -1
+    height_max: int = -1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -204,8 +220,19 @@ def _build(cls, d: dict):
     for k, v in d.items():
         if k not in names:
             continue  # tolerate unknown keys like the reference's mmengine
+        if v is None and not _accepts_none(cls, k):
+            # tolerate explicit None for non-optional fields (e.g. the
+            # reference nerf_studio/stump.py sets bd_factor=None): keep the
+            # schema default instead
+            continue
         kwargs[k] = _freeze(v)
     return cls(**kwargs)
+
+
+def _accepts_none(cls, name: str) -> bool:
+    f = cls.__dataclass_fields__[name]
+    t = str(f.type)
+    return "None" in t or f.default is None
 
 
 def exp_config_from_dict(d: dict) -> ExpConfig:
@@ -219,8 +246,18 @@ def exp_config_from_dict(d: dict) -> ExpConfig:
         ("fine_model_and_render", ModelRenderConfig),
     ):
         if key in d:
+            scene = dict(d[key])
+            # dvgo-style single-resolution aliases (reference llff/
+            # tankstemple/nerf configs say `num_voxels=256**3`): expand to
+            # the per-grid keys unless the scene gives those explicitly.
+            if "num_voxels" in scene:
+                for tgt in ("num_voxels_rgb", "num_voxels_density"):
+                    scene.setdefault(tgt, scene["num_voxels"])
+            if "num_voxels_base" in scene:
+                for tgt in ("num_voxels_base_rgb", "num_voxels_base_density"):
+                    scene.setdefault(tgt, scene["num_voxels_base"])
             base = dataclasses.asdict(getattr(ExpConfig(), key))
-            base.update(d[key])
+            base.update(scene)
             kwargs[key] = _build(cls, base)
     for key in ("expname", "basedir", "model"):
         if key in d:

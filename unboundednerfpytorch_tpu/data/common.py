@@ -182,6 +182,39 @@ def load_common_data(data_cfg: DataConfig) -> dict:
                 )
             else:
                 images[i] = images[i] * masks[i][..., None]
+    elif dt == "linemod":
+        # pose-estimation sequences (configs/linemod/*); the reference ships
+        # these configs with no loader — see data/linemod.py docstring
+        from unboundednerfpytorch_tpu.data import linemod as linemod_mod
+
+        images, poses4, Ks_arr, obj_poses, i_train, i_test = (
+            linemod_mod.load_linemod_data(
+                data_cfg.datadir,
+                data_cfg.seq_name,
+                width_max=data_cfg.width_max,
+                height_max=data_cfg.height_max,
+                white_bkgd=data_cfg.white_bkgd,
+                testskip=data_cfg.testskip,
+            )
+        )
+        poses = poses4[:, :3, :4]
+        dists = np.linalg.norm(poses[np.asarray(i_train), :3, 3], axis=-1)
+        near = float(data_cfg.near) if data_cfg.near is not None else max(
+            float(dists.min()) * 0.5, 1e-3
+        )
+        far = float(data_cfg.far) if data_cfg.far is not None else float(
+            dists.max()
+        ) * 1.5
+        HW = np.array([im.shape[:2] for im in images])
+        return dict(
+            hwf=None, HW=HW, Ks=Ks_arr, near=near, far=far,
+            near_clip=near, i_train=np.asarray(i_train),
+            i_val=np.asarray(i_test), i_test=np.asarray(i_test),
+            poses=poses, render_poses=poses[np.asarray(i_test)],
+            images=images.astype(np.float32),
+            object_poses=obj_poses,
+            irregular_shape=False,
+        )
     elif dt == "nerfpp":
         images, poses, render_poses, hwf, K, i_split = loaders.load_nerfpp_data(
             data_cfg.datadir,
@@ -246,5 +279,6 @@ def load_everything(cfg: ExpConfig, sample_num: int = -1) -> dict:
     keep = [
         "HW", "Ks", "near", "far", "near_clip", "i_train", "i_val", "i_test",
         "poses", "render_poses", "images", "irregular_shape",
+        "object_poses",  # linemod: GT 6-DoF object poses for pose evaluation
     ]
     return {k: data_dict[k] for k in keep if k in data_dict}

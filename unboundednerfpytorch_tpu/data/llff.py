@@ -55,14 +55,61 @@ def _ensure_minified(basedir: str, factor: int) -> str:
     return outdir
 
 
-def _load_data(basedir: str, factor: int | None = None):
+def _ensure_resized(basedir: str, width: int, height: int) -> str:
+    """Create images_{W}x{H}/ with exact-resolution resizes (the reference's
+    width/height forcing path, load_llff.py:109-125)."""
+    import cv2
+
+    imgdir = os.path.join(basedir, "images")
+    outdir = os.path.join(basedir, f"images_{width}x{height}")
+    srcs = sorted(
+        f
+        for f in glob.glob(os.path.join(imgdir, "*"))
+        if f.lower().endswith(("jpg", "jpeg", "png"))
+    )
+    if os.path.exists(outdir):
+        outs = [f for f in glob.glob(os.path.join(outdir, "*")) if
+                f.lower().endswith(("jpg", "jpeg", "png"))]
+        if len(outs) == len(srcs):
+            return outdir
+    os.makedirs(outdir, exist_ok=True)
+    import imageio.v2 as imageio
+
+    for f in srcs:
+        im = _imread(f)
+        im2 = cv2.resize(im, (width, height), interpolation=cv2.INTER_AREA)
+        out = os.path.join(outdir, os.path.splitext(os.path.basename(f))[0] + ".png")
+        imageio.imwrite(out, im2)
+    return outdir
+
+
+def _load_data(basedir: str, factor: int | None = None,
+               width: int | None = None, height: int | None = None):
     poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
     poses = poses_arr[:, :-2].reshape([-1, 3, 5]).transpose([1, 2, 0])
     bds = poses_arr[:, -2:].transpose([1, 0])
 
     imgdir = os.path.join(basedir, "images")
-    if factor is not None and factor > 1:
+    native = None
+    # width/height forcing overrides factor (load_llff.py:109-125): derive
+    # the missing dimension from the native aspect ratio when only one given
+    if width is not None or height is not None:
+        src0 = sorted(
+            f for f in glob.glob(os.path.join(imgdir, "*"))
+            if f.lower().endswith(("jpg", "jpeg", "png"))
+        )[0]
+        native = _imread(src0).shape  # (H, W, C)
+        if height is None:
+            height = int(native[0] / (native[1] / float(width)))
+        if width is None:
+            width = int(native[1] / (native[0] / float(height)))
+        imgdir = _ensure_resized(basedir, int(width), int(height))
+        scale = native[0] / float(height)
+    elif factor is not None and factor > 1:
         imgdir = _ensure_minified(basedir, factor)
+        scale = float(factor)
+    else:
+        scale = 1.0
     imgfiles = sorted(
         f
         for f in glob.glob(os.path.join(imgdir, "*"))
@@ -73,7 +120,7 @@ def _load_data(basedir: str, factor: int | None = None):
     )
     sh = _imread(imgfiles[0]).shape
     poses[:2, 4, :] = np.array(sh[:2]).reshape([2, 1])
-    poses[2, 4, :] = poses[2, 4, :] * 1.0 / (factor or 1)
+    poses[2, 4, :] = poses[2, 4, :] * 1.0 / scale
 
     imgs = np.stack(
         [(_imread(f)[..., :3] / 255.0).astype(np.float32) for f in imgfiles], -1
@@ -193,8 +240,10 @@ def load_llff_data(
     movie_render_kwargs: dict | None = None,
 ):
     movie_render_kwargs = dict(movie_render_kwargs or {})
-    del width, height, load_depths  # resolution forcing/depths: not yet supported
-    poses, bds, imgs = _load_data(basedir, factor=factor)
+    del load_depths  # depth maps: not supported (unused by the pipeline)
+    poses, bds, imgs = _load_data(
+        basedir, factor=factor, width=width, height=height
+    )
 
     # Correct rotation matrix ordering and move variable dim to axis 0
     poses = np.concatenate([poses[:, 1:2, :], -poses[:, 0:1, :], poses[:, 2:, :]], 1)

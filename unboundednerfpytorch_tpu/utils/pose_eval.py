@@ -128,6 +128,18 @@ class LineMODEvaluator:
         self.mask_ap.append(bool(iou > 0.7))
         return iou
 
+    def evaluate(self, pose_pred, pose_target, K=None):
+        """One-call per-frame evaluation: all pose metrics at once (the
+        reference's evaluator accumulates these across its eval loop,
+        linemod_evaluator.py:9-36, :335)."""
+        K = LINEMOD_K if K is None else K
+        symmetric = self.class_name in ("eggbox", "glue")  # standard LineMOD
+        self.projection_2d(pose_pred, pose_target, K)
+        self.add_metric(pose_pred, pose_target, symmetric=symmetric)
+        self.add2_metric(pose_pred, pose_target, symmetric=symmetric)
+        self.add5_metric(pose_pred, pose_target, symmetric=symmetric)
+        self.cm_degree_5_metric(pose_pred, pose_target)
+
     def summarize(self) -> dict:
         mean = lambda xs: float(np.mean(xs)) if xs else float("nan")
         return {
@@ -138,3 +150,79 @@ class LineMODEvaluator:
             "cmd5": mean(self.cmd5),
             "mask_ap": mean(self.mask_ap),
         }
+
+
+def load_model_points(seq_dir: str) -> np.ndarray:
+    """Object model points for ADD metrics: ``model_points.npy`` or a
+    (ascii/binary) ``*.ply`` under the sequence directory."""
+    import glob
+    import os
+
+    npy = os.path.join(seq_dir, "model_points.npy")
+    if os.path.exists(npy):
+        return np.load(npy).astype(np.float64)
+    plys = glob.glob(os.path.join(seq_dir, "*.ply"))
+    if plys:
+        return _read_ply_points(plys[0])
+    raise FileNotFoundError(
+        f"no model_points.npy or .ply under {seq_dir} for ADD evaluation"
+    )
+
+
+def _read_ply_points(path: str) -> np.ndarray:
+    """Minimal PLY vertex reader (ascii + binary_little_endian float32)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n_vert = 0
+        fmt = "ascii"
+        props = []
+        in_vertex = False
+        for line in header:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                in_vertex = parts[1] == "vertex"
+                if in_vertex:
+                    n_vert = int(parts[2])
+            elif parts[0] == "property" and in_vertex:
+                props.append((parts[1], parts[2]))
+        if fmt == "ascii":
+            rows = [f.readline().split()[: len(props)] for _ in range(n_vert)]
+            arr = np.asarray(rows, dtype=np.float64)
+        else:
+            dt_map = {"float": "f4", "float32": "f4", "double": "f8",
+                      "uchar": "u1", "uint8": "u1", "int": "i4", "uint": "u4"}
+            dtype = np.dtype([(name, dt_map.get(t, "f4")) for t, name in props])
+            raw = np.frombuffer(f.read(n_vert * dtype.itemsize), dtype=dtype)
+            arr = np.stack(
+                [raw[name].astype(np.float64) for name in ("x", "y", "z")], -1
+            )
+            return arr
+    cols = {name: i for i, (_, name) in enumerate(props)}
+    return arr[:, [cols["x"], cols["y"], cols["z"]]]
+
+
+def evaluate_linemod_sequence(
+    class_name: str,
+    model_points: np.ndarray,
+    pose_preds: np.ndarray,
+    pose_gts: np.ndarray,
+    K: np.ndarray | None = None,
+) -> dict:
+    """Drive the evaluator over a sequence of [N,3,4] predictions vs GT.
+
+    The invocation surface the reference leaves implicit (its evaluator is
+    only instantiated by unreleased experiment code) — wired here into the
+    CLI ``linemod_eval`` program."""
+    ev = LineMODEvaluator(class_name, model_points)
+    for pred, gt in zip(np.asarray(pose_preds), np.asarray(pose_gts)):
+        ev.evaluate(pred[:3, :4], gt[:3, :4], K)
+    return ev.summarize()
