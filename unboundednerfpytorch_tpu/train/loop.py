@@ -103,17 +103,43 @@ def model_family_name(cfg: ExpConfig) -> str:
     return "dvgo"
 
 
-def gather_training_rays(cfg: ExpConfig, data_dict: dict) -> dict:
-    """Precompute the flattened device ray store (dvgo.py:595-627)."""
+def gather_training_rays(cfg: ExpConfig, data_dict: dict, host: bool = False) -> dict:
+    """Precompute the flattened ray store (dvgo.py:595-627).
+
+    host=True (the ``load2gpu_on_the_fly`` mode, run_train.py:242-248):
+    rays are generated one view at a time and accumulated in host RAM, so
+    the store is bounded by host memory, not HBM — required for Waymo-scale
+    scenes (hundreds of 1216x912 views)."""
     i_train = np.asarray(data_dict["i_train"])
     HW = np.asarray(data_dict["HW"])
     H, W = int(HW[i_train[0]][0]), int(HW[i_train[0]][1])
-    K = jnp.asarray(np.asarray(data_dict["Ks"])[i_train[0]])
-    poses = jnp.asarray(np.asarray(data_dict["poses"])[i_train][:, :3, :4])
-    images = jnp.asarray(np.asarray(data_dict["images"])[i_train])
+    K_np = np.asarray(data_dict["Ks"])[i_train[0]]
+    poses_np = np.asarray(data_dict["poses"])[i_train][:, :3, :4]
+    images_np = np.asarray(data_dict["images"])[i_train]
+
+    if host:
+        ro_l, rd_l, vd_l = [], [], []
+        K = jnp.asarray(K_np)
+        for c2w in poses_np:
+            ro, rd, vd = ray_ops.get_rays_of_a_view(
+                H, W, K, jnp.asarray(c2w),
+                ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+                flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+            )
+            ro_l.append(np.asarray(ro).reshape(-1, 3))
+            rd_l.append(np.asarray(rd).reshape(-1, 3))
+            vd_l.append(np.asarray(vd).reshape(-1, 3))
+        n_img = len(poses_np)
+        return {
+            "rgb": images_np.reshape(-1, 3).astype(np.float32),
+            "rays_o": np.concatenate(ro_l),
+            "rays_d": np.concatenate(rd_l),
+            "viewdirs": np.concatenate(vd_l),
+            "img_index": np.repeat(np.arange(n_img, dtype=np.int32), H * W),
+        }
 
     rgb, rays_o, rays_d, viewdirs, img_index = ray_ops.get_training_rays_flatten(
-        images, poses, H, W, K,
+        jnp.asarray(images_np), jnp.asarray(poses_np), H, W, jnp.asarray(K_np),
         ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
         flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
     )
@@ -278,7 +304,8 @@ def scene_rep_reconstruction(
         "stepsize": cfg_model.stepsize,
     }
 
-    store = gather_training_rays(cfg, data_dict)
+    use_host_store = cfg.data.load2gpu_on_the_fly
+    store = gather_training_rays(cfg, data_dict, host=use_host_store)
 
     # 'in_maskcache' ray filter (dvgo.get_training_rays_in_maskcache_sampling):
     # drop rays that never hit the coarse occupancy — host-side boolean
@@ -349,6 +376,27 @@ def scene_rep_reconstruction(
         if radius is not None:
             near_thres = float(data_dict["near_clip"]) / float(radius[0])
 
+    # sampler selection (run_train.py:204-248): 'flatten'/'in_maskcache' use
+    # epoch-permutation semantics; 'random' is with-replacement. With
+    # load2gpu_on_the_fly the store stays in host RAM and batches are sliced
+    # host-side, else the sampler is fused into the jitted step.
+    flatten = cfg_train.ray_sampler in ("flatten", "in_maskcache")
+    host_sampler = None
+    samp_holder: dict = {}
+    if use_host_store:
+        from unboundednerfpytorch_tpu.train import step as step_mod
+
+        host_sampler = step_mod.HostRayStoreSampler(
+            store, cfg_train.N_rand, seed=seed,
+            mode="flatten" if flatten else "random",
+        )
+    elif flatten:
+        from unboundednerfpytorch_tpu.train import step as step_mod
+
+        samp_holder["samp"] = step_mod.init_sampler_state(
+            int(store["rgb"].shape[0]), jax.random.fold_in(key, 2**31 - 1)
+        )
+
     def compile_step(mcfg_now, params_now):
         fwd = make_forward(family, mcfg_now, render_kwargs)
         ws_max = float(max(mcfg_now.world_size))
@@ -363,7 +411,27 @@ def scene_rep_reconstruction(
             fwd, cfg_train, world_size_max=ws_max, near_thres=near_thres,
             tv_axis_scale=tv_axis_scale,
         )
-        return make_sampled_step(core, cfg_train.N_rand)
+        if use_host_store:
+            jitted = jax.jit(core, donate_argnums=(0,))
+
+            def run(state, k_step):
+                return jitted(state, host_sampler.next_batch(), k_step)
+
+            return run
+        if flatten:
+            from unboundednerfpytorch_tpu.train import step as step_mod
+
+            fstep = step_mod.make_flatten_sampled_step(core, cfg_train.N_rand)
+
+            def run(state, k_step):
+                new_state, samp_holder["samp"], metrics = fstep(
+                    state, samp_holder["samp"], store, k_step
+                )
+                return new_state, metrics
+
+            return run
+        sstep = make_sampled_step(core, cfg_train.N_rand)
+        return lambda state, k_step: sstep(state, store, k_step)
 
     step_fn = compile_step(mcfg, params)
 
@@ -417,7 +485,7 @@ def scene_rep_reconstruction(
         # not the run was interrupted, so kill-and-resume reproduces the exact
         # trajectory of an uninterrupted run (given restored opt state).
         k_step = jax.random.fold_in(key, global_step)
-        state, metrics = step_fn(state, store, k_step)
+        state, metrics = step_fn(state, k_step)
 
         if global_step % log_every == 0 or global_step == n_iters:
             m = jax.device_get(metrics)

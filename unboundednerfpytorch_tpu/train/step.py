@@ -202,3 +202,91 @@ def make_sampled_step(train_step, n_rand: int, donate: bool = True):
         return train_step(state, batch, k_step)
 
     return sampled_step
+
+
+@struct.dataclass
+class SamplerState:
+    """Device-side epoch-permutation sampler ('flatten' semantics of
+    dvgo.py:660-667 / run_train.py:204-240): a shuffled index buffer walked
+    sequentially, reshuffled when exhausted — every ray is visited exactly
+    once per epoch."""
+
+    perm: jnp.ndarray  # [N_total] int32 shuffled ray indices
+    cursor: jnp.ndarray  # scalar int32 position in perm
+
+
+def init_sampler_state(n_total: int, key: jax.Array) -> SamplerState:
+    return SamplerState(
+        perm=jax.random.permutation(key, n_total).astype(jnp.int32),
+        cursor=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_flatten_sampled_step(train_step, n_rand: int, donate: bool = True):
+    """'flatten' sampler fused with the step. Signature:
+    (state, samp, store, key) -> (state, samp, metrics)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def sampled_step(
+        state: TrainState, samp: SamplerState, store: dict, key: jax.Array
+    ):
+        n_total = store["rgb"].shape[0]
+        k_perm, k_step = jax.random.split(key)
+
+        def reshuffle(s):
+            return SamplerState(
+                perm=jax.random.permutation(k_perm, n_total).astype(jnp.int32),
+                cursor=jnp.zeros((), jnp.int32),
+            )
+
+        samp = jax.lax.cond(
+            samp.cursor + n_rand > n_total, reshuffle, lambda s: s, samp
+        )
+        idx = jax.lax.dynamic_slice(samp.perm, (samp.cursor,), (n_rand,))
+        samp = samp.replace(cursor=samp.cursor + n_rand)
+        batch = {k: v[idx] for k, v in store.items() if v is not None}
+        new_state, metrics = train_step(state, batch, k_step)
+        return new_state, samp, metrics
+
+    return sampled_step
+
+
+class HostRayStoreSampler:
+    """Host-resident ray store with epoch-permutation batching — the
+    ``load2gpu_on_the_fly`` mode (run_train.py:242-248): the full flattened
+    ray store stays in host RAM (numpy) and only the per-step batch crosses
+    to the device, so scene size is bounded by host memory, not HBM.
+
+    mode='flatten': every ray visited exactly once per epoch, reshuffled
+    between epochs (dvgo.py:660-667). mode='random': with-replacement
+    randint batches (the reference's 'random' sampler)."""
+
+    def __init__(self, store: dict, n_rand: int, seed: int = 0,
+                 mode: str = "flatten"):
+        import numpy as np
+
+        assert mode in ("flatten", "random"), mode
+        self._np = np
+        self.store = {
+            k: (np.asarray(v) if v is not None else None)
+            for k, v in store.items()
+        }
+        self.n_total = int(self.store["rgb"].shape[0])
+        self.n_rand = int(n_rand)
+        self.mode = mode
+        self._rng = np.random.default_rng(seed)
+        self._perm = None
+        self._cursor = 0
+
+    def next_batch(self) -> dict:
+        if self.mode == "random":
+            idx = self._rng.integers(0, self.n_total, size=self.n_rand)
+        else:
+            if self._perm is None or self._cursor + self.n_rand > self.n_total:
+                self._perm = self._rng.permutation(self.n_total)
+                self._cursor = 0
+            idx = self._perm[self._cursor : self._cursor + self.n_rand]
+            self._cursor += self.n_rand
+        return {
+            k: v[idx] for k, v in self.store.items() if v is not None
+        }
