@@ -137,3 +137,23 @@ def test_gtk_spectra_shapes_and_decay():
     assert spec[0] >= spec[-1]
     Jf = gtk_analysis.fourier_grid_jacobian(grid_len=50, band_num=4, n_points=40)
     assert Jf.shape == (40, 200)
+
+
+def test_gtk_fourier_spectrum_and_delta():
+    from unboundednerfpytorch_tpu.cli import gtk_analysis as g
+
+    sw = g.fg_spectrum_by_band_num(2, grid_len=10, n_points=50)
+    assert sw.shape == (50,) and np.all(sw > 0)
+    # Delta = y^T K^-1 y with K = 2I halves the squared norm
+    d = g.calculate_delta(np.eye(2) * 2.0, np.array([[1.0, 0.5]]), np.array([[0.0, 1.0]]))
+    np.testing.assert_allclose(d, [0.5, 0.625])
+
+
+def test_gtk_regression_fourier_beats_voxel_on_bessel():
+    """The paper's claim the figure illustrates: FourierGrid fits the Bessel
+    target better than an equal-parameter VoxelGrid."""
+    from unboundednerfpytorch_tpu.cli import gtk_analysis as g
+
+    r = g.regression_experiment(iterations=60, seed=3)
+    mse_f = float(np.mean((r["y_fourier"] - r["signal"]) ** 2))
+    assert mse_f < 0.05

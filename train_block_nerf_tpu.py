@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--n_samples", type=int, default=64)
     p.add_argument("--n_importance", type=int, default=64)
+    p.add_argument("--use_disp", type=lambda s: s.lower() not in ("0", "false"),
+                   default=True,
+                   help="log-linear depth sampling (reference default True, "
+                        "train_block_nerf.py:53)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="devices for the data mesh (0 = all)")
     args = p.parse_args(argv)
@@ -38,6 +42,9 @@ def main(argv=None) -> int:
     from unboundednerfpytorch_tpu.models.block_nerf import dataset, training
     from unboundednerfpytorch_tpu.parallel import mesh as mesh_mod
     from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
+
+    # multi-host rendezvous (DDP replacement, train_block_nerf.py:127-128)
+    mesh_mod.maybe_initialize_distributed(log_fn=print)
 
     store_np, n_images = dataset.load_block_ray_store(
         args.root_dir, block=args.block_index, img_downscale=args.img_downscale,
@@ -58,6 +65,8 @@ def main(argv=None) -> int:
     )
     state, metrics = training.train_block(
         state, store, steps, batch_size=args.batch_size, mesh=mesh,
+        use_disp=args.use_disp, n_samples=args.n_samples,
+        n_importance=args.n_importance,
     )
 
     out = os.path.join("logs", args.exp_name, f"{args.block_index}")

@@ -143,8 +143,181 @@ def one_d_regress(
     return voxel, hist
 
 
+# ---------------------------------------------------------------------------
+# Fourier spectrum of the kernel + band sweep (run_gtk_analysis.py:184-260)
+# ---------------------------------------------------------------------------
+
+def _gaussian_filter1d(x: np.ndarray, sigma: float = 2.0) -> np.ndarray:
+    r = int(4 * sigma + 0.5)
+    t = np.arange(-r, r + 1)
+    k = np.exp(-0.5 * (t / sigma) ** 2)
+    k /= k.sum()
+    return np.convolve(np.pad(x, r, mode="wrap"), k, mode="valid")
+
+
+def gtk_fourier_spectrum_row(kernel: np.ndarray, sigma: float = 2.0) -> np.ndarray:
+    """fftshift(log10 |fft|) of the kernel's first row, 10**(.), smoothed —
+    the `fplot` + gaussian_filter1d plotting transform (:188-189, :241-243)."""
+    row = np.fft.fftshift(np.log10(np.abs(np.fft.fft(kernel)) + 1e-12))[0]
+    return _gaussian_filter1d(10.0 ** row, sigma=sigma)
+
+
+def fg_spectrum_by_band_num(band_num: int, grid_len: int = 10,
+                            n_points: int = 100) -> np.ndarray:
+    """FourierGrid GTK spectrum at 2*band_num bands (the reference's l-sweep,
+    get_fg_gtk_spectrum_by_band_num, :184-190)."""
+    J = fourier_grid_jacobian(grid_len, band_num * 2, n_points)
+    return gtk_fourier_spectrum_row(gtk(J))
+
+
+# ---------------------------------------------------------------------------
+# Test signals for the 1-D regression experiment (:263-306)
+# ---------------------------------------------------------------------------
+
+def sample_random_signal(key: np.ndarray, decay_vec: np.ndarray) -> np.ndarray:
+    rng = np.random.default_rng(int(np.sum(key)))
+    raw = rng.normal(size=[decay_vec.shape[0], 2]) @ np.array([1, 1j])
+    return np.real(np.fft.ifft(raw * decay_vec))
+
+
+def sample_random_powerlaw(key, n: int, power: float) -> np.ndarray:
+    coords = np.float32(
+        np.fft.ifftshift(1 + n // 2 - np.abs(np.fft.fftshift(np.arange(n)) - n // 2))
+    )
+    decay_vec = coords ** (-power)
+    decay_vec = np.array(decay_vec)
+    decay_vec[n // 4 :] = 0
+    return sample_random_signal(key, decay_vec)
+
+
+def get_sine_signal(n: int) -> np.ndarray:
+    return np.sin(np.arange(n) / n * 2 * np.pi)
+
+
+def get_bessel_signal(n: int) -> np.ndarray:
+    """First-kind Bessel J1(x/4) — the reference's regression target (:284-286)."""
+    from scipy.special import jv
+
+    return jv(1, np.arange(n) / 4)
+
+
+# ---------------------------------------------------------------------------
+# Generalization-bound surface (:333-353): Delta = y^T K^-1 y per 2-pt batch
+# ---------------------------------------------------------------------------
+
+def calculate_delta(kernel: np.ndarray, y1: np.ndarray, y2: np.ndarray) -> np.ndarray:
+    """Batched y^T K^{-1} y for 2-point label pairs (calculate_Delta)."""
+    ys = np.stack([np.ravel(y1), np.ravel(y2)], axis=-1)  # [B, 2]
+    kinv = np.linalg.inv(kernel)
+    return np.einsum("bi,ij,bj->b", ys, kinv, ys)
+
+
+def regression_experiment(grid_len: int = 10, band_num: int = 3,
+                          train_num: int = 7, sample_interval: int = 4,
+                          iterations: int = 150, lr: float = 1.0,
+                          seed: int = 0):
+    """The paper's 1-D Bessel regression: VoxelGrid (grid_len*band_num params)
+    vs FourierGrid (grid_len x band_num banks), same budget (:288-315)."""
+    n = train_num * sample_interval
+    x_test = np.float32(np.linspace(0, 1.0, n, endpoint=False))
+    x_train = x_test[::sample_interval]
+    signal = get_bessel_signal(n)
+    signal = (signal - signal.min()) / (signal.max() - signal.min())
+    y_train = signal[::sample_interval]
+
+    rng = np.random.default_rng(seed)
+    v0 = jnp.asarray(rng.random(grid_len * band_num), jnp.float32)
+    f0 = jnp.asarray(rng.random(grid_len * band_num), jnp.float32)
+
+    v_final, v_hist = one_d_regress(
+        voxel_grid_predict, v0, x_train, y_train, x_test, signal,
+        lr=lr, iterations=iterations,
+    )
+    fg_pred = lambda v, x: fourier_grid_predict(v, x, grid_len, band_num)
+    f_final, f_hist = one_d_regress(
+        fg_pred, f0, x_train, y_train, x_test, signal,
+        lr=lr, iterations=iterations,
+    )
+    return {
+        "x_test": x_test,
+        "x_train": x_train,
+        "signal": signal,
+        "y_train": y_train,
+        "y_voxel": np.asarray(voxel_grid_predict(v_final, jnp.asarray(x_test))),
+        "y_fourier": np.asarray(fg_pred(f_final, jnp.asarray(x_test))),
+        "hist_voxel": v_hist,
+        "hist_fourier": f_hist,
+    }
+
+
+def make_figures(out_dir: str = "figures", grid_len: int = 10,
+                 freq_num: int = 10, n_points: int = 100) -> list[str]:
+    """The two paper figures (vg_fg_gtk + unbounded), matplotlib Agg:
+    (a) VoxelGrid GTK, (b) FourierGrid GTK, (c) spectrum band sweep,
+    (d) 1-D regression; then the generalization-bound difference heatmap."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+
+    Kv = gtk(voxel_grid_jacobian(grid_len * freq_num, n_points))
+    Kf = gtk(fourier_grid_jacobian(grid_len, freq_num, n_points))
+    norm = lambda a: (a - a.min()) / (a.max() - a.min() + 1e-12)
+
+    fig, axes = plt.subplots(2, 2, constrained_layout=True, figsize=(6, 6))
+    axes[0, 0].imshow(norm(Kv))
+    axes[0, 0].set_title("(a) VoxelGrid GTK")
+    axes[0, 1].imshow(norm(Kf))
+    axes[0, 1].set_title("(b) FourierGrid GTK")
+    ax = axes[1, 0]
+    vg_plot = gtk_fourier_spectrum_row(Kv)
+    ax.semilogy(np.append(vg_plot, vg_plot[0]), label="VoxelGrid")
+    for l in (1, 5, 10):
+        p = fg_spectrum_by_band_num(l, grid_len, n_points)
+        ax.semilogy(np.append(p, p[0]), label=f"FourierGrid (l={l})")
+    ax.legend(fontsize=6)
+    ax.set_title("(c) GTK Fourier Spectrum")
+    reg = regression_experiment(grid_len=grid_len, band_num=3)
+    ax = axes[1, 1]
+    ax.plot(reg["x_test"], reg["signal"], "k", label="Target signal")
+    ax.scatter(reg["x_train"], reg["y_train"], edgecolors="k", color="w",
+               label="Training points", zorder=2)
+    ax.plot(reg["x_test"], reg["y_voxel"], label="Learned by VoxelGrid")
+    ax.plot(reg["x_test"], reg["y_fourier"], label="Learned by FourierGrid")
+    ax.legend(fontsize=6)
+    ax.set_title("(d) 1D Regression")
+    p1 = os.path.join(out_dir, "vg_fg_gtk.jpg")
+    fig.savefig(p1, dpi=150)
+    plt.close(fig)
+    written.append(p1)
+
+    # generalization-bound difference (figure 2, :343-396)
+    Kv2 = gtk(voxel_grid_jacobian(grid_len, n_points=2))
+    Kf2 = gtk(fourier_grid_jacobian(grid_len, freq_num, n_points=2))
+    y = np.linspace(-1, 1, 121)
+    y1, y2 = np.meshgrid(y, y)
+    dv = calculate_delta(Kv2 + 1e-6 * np.eye(2), y1, y2).reshape(y1.shape)
+    df = calculate_delta(Kf2 + 1e-6 * np.eye(2), y1, y2).reshape(y1.shape)
+    dv /= np.abs(dv).max() + 1e-12
+    df /= np.abs(df).max() + 1e-12
+    fig, ax = plt.subplots(constrained_layout=True, figsize=(4, 3))
+    im = ax.pcolor(dv - df, cmap="coolwarm")
+    fig.colorbar(im)
+    ax.set_title("Generalization Bound Diff.")
+    p2 = os.path.join(out_dir, "unbounded.jpg")
+    fig.savefig(p2, dpi=150)
+    plt.close(fig)
+    written.append(p2)
+    return written
+
+
 def main(out_path: str = "gtk_analysis.npz", grid_len: int = 100,
-         band_num: int = 10, n_points: int = 100):
+         band_num: int = 10, n_points: int = 100, figures: bool = False):
     """Compute both GTKs + spectra and save for plotting."""
     Jv = voxel_grid_jacobian(grid_len, n_points)
     Jf = fourier_grid_jacobian(grid_len, band_num, n_points)
@@ -155,9 +328,16 @@ def main(out_path: str = "gtk_analysis.npz", grid_len: int = 100,
         gtk_fourier=Kf,
         spectrum_voxel=gtk_spectrum(Kv),
         spectrum_fourier=gtk_spectrum(Kf),
+        fourier_spectrum_voxel=gtk_fourier_spectrum_row(Kv),
+        fourier_spectrum_fourier=gtk_fourier_spectrum_row(Kf),
     )
     print(f"GTK analysis written to {out_path}")
+    if figures:
+        for p in make_figures():
+            print(f"figure written to {p}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(figures="--figures" in sys.argv)

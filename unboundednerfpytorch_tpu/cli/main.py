@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_per_block", type=int, default=-1,
                    help="images per block for block training")
     p.add_argument("--running_block_id", type=int, default=-1)
+    p.add_argument("--block_parallel", action="store_true",
+                   help="train all blocks concurrently as one stacked-SPMD "
+                        "program sharded over a `block` mesh axis "
+                        "(train/block_parallel.py) instead of sequentially")
     p.add_argument("--no_reload", action="store_true")
     p.add_argument("--no_reload_optimizer", action="store_true",
                    help="on resume, rebuild fresh Adam moments instead of "
@@ -72,6 +76,12 @@ def main(argv=None) -> int:
     cfg = load_config(args.config)
     np.random.seed(args.seed)
 
+    # multi-host rendezvous when launched as one process per host (no-op on
+    # single-process runs)
+    from unboundednerfpytorch_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed(log_fn=print)
+
     data_dict = load_everything(cfg, sample_num=args.sample_num)
 
     # block count (run_FourierGrid.py:101-103)
@@ -90,7 +100,16 @@ def main(argv=None) -> int:
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
 
         if block_num > 1:
-            loop.run_train_blocks(cfg, data_dict, block_num, exp_dir, seed=args.seed)
+            if args.block_parallel:
+                from unboundednerfpytorch_tpu.train import block_parallel
+
+                block_parallel.run_train_blocks_parallel(
+                    cfg, data_dict, block_num, exp_dir, seed=args.seed
+                )
+            else:
+                loop.run_train_blocks(
+                    cfg, data_dict, block_num, exp_dir, seed=args.seed
+                )
             print(f"block training finished ({block_num} blocks)")
             return 0
         family, mcfg, params, psnr = loop.run_train(
@@ -150,10 +169,20 @@ def main(argv=None) -> int:
         print(json.dumps({"sequence": seq, **summary}))
         return 0
     if args.program == "gen_trace":
+        # synthesize straight+rotation camera paths (run_gen_cam_paths.py)
+        from unboundednerfpytorch_tpu.render import cam_paths
+
+        out_dir = os.path.join(exp_dir, "cam_paths")
+        paths = cam_paths.gen_cam_paths(
+            cfg, data_dict, out_dir, write_video=args.dump_images
+        )
         out = os.path.join(exp_dir, "render_poses.json")
         with open(out, "w") as f:
             json.dump(np.asarray(data_dict["render_poses"]).tolist(), f)
-        print(f"wrote camera trace to {out}")
+        print(
+            f"wrote camera paths to {out_dir} "
+            f"({len(paths['combined'])} combined views) and trace to {out}"
+        )
         return 0
     raise NotImplementedError(f"program {args.program} is not implemented")
 

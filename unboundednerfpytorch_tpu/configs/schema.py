@@ -141,6 +141,12 @@ class ModelRenderConfig:
     # Occupancy probe stride for the sample-budget pre-pass (see
     # models/fourier_grid.FourierGridConfig.budget_probe_stride).
     budget_probe_stride: int = 1
+    # Two-stage render engine: after the density pass + transmittance scan,
+    # compact each ray to its first `color_budget` surviving samples
+    # (weights > fast_color_thres) before the expensive color-bank gathers +
+    # rgb MLP — the TPU fixed-shape analog of the reference's second
+    # weights-threshold compaction (FourierGrid_model.py:602-614). 0 = off.
+    color_budget: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -51,13 +51,17 @@ def make_train_step(
     n_importance: int = 64,
     lambda_mu: float = 0.01,
     visi_loss: float = 1e-2,
+    use_disp: bool = True,
 ):
+    """use_disp defaults True like the reference CLI
+    (train_block_nerf.py:53): log-linear depth sampling."""
     tx = make_optimizer(lr)
 
     def loss_fn(params, batch, key):
         results = R.render_rays(
             params, batch["rays"], batch["ts"], key=key,
             n_samples=n_samples, n_importance=n_importance,
+            use_disp=use_disp,
         )
         losses = M.block_nerf_loss(
             results, batch["rgbs"], lambda_mu=lambda_mu, visi_loss=visi_loss
@@ -92,11 +96,16 @@ def train_block(
     mesh=None,
     log_every: int = 500,
     log_fn=print,
+    use_disp: bool = True,
+    n_samples: int = 64,
+    n_importance: int = 64,
 ):
     """Train one block. With a mesh, the ray batch is sharded over the data
     axis; grads all-reduce over ICI automatically (the DDP replacement)."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    step_fn = make_train_step()
+    step_fn = make_train_step(
+        n_samples=n_samples, n_importance=n_importance, use_disp=use_disp
+    )
 
     @jax.jit
     def sample(store, k):

@@ -24,6 +24,50 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(log_fn=None) -> bool:
+    """Multi-host DCN rendezvous (the NCCL process-group replacement).
+
+    Calls ``jax.distributed.initialize()`` when the environment indicates a
+    multi-process launch — either JAX's own coordinator variables
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``) or a TPU pod slice
+    (``TPU_WORKER_HOSTNAMES`` with >1 worker, where initialize() can
+    auto-discover everything). Single-process runs are untouched, so every
+    CLI can call this unconditionally (run_FourierGrid.py has no equivalent;
+    the reference's multi-process path is Lightning DDP spawn,
+    train_block_nerf.py:127-128). Returns True when initialized."""
+    import os
+
+    already = getattr(maybe_initialize_distributed, "_done", False)
+    if already:
+        return True
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
+    ]
+    try:
+        if coord and nproc:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            )
+        elif len(workers) > 1:
+            jax.distributed.initialize()
+        else:
+            return False
+    except Exception as e:  # noqa: BLE001 — never block single-host runs
+        if log_fn:
+            log_fn(f"jax.distributed.initialize failed: {e!r}")
+        return False
+    maybe_initialize_distributed._done = True
+    if log_fn:
+        log_fn(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+        )
+    return True
+
+
 def make_mesh(
     n_devices: int | None = None,
     grid_parallel: int = 1,
