@@ -67,6 +67,7 @@ def test_volume_rendering_conservation():
     assert np.allclose(Ti[:, 0], 1.0)
 
 
+@pytest.mark.slow
 def test_render_rays_and_train_step():
     key = jax.random.PRNGKey(0)
     params = B.create(key, n_appearance=4)

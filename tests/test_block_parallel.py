@@ -83,6 +83,7 @@ def test_blocks_train_concurrently_and_merge(tmp_path, data):
     assert mesh.devices.size == 2
 
 
+@pytest.mark.slow
 def test_parallel_matches_sequential_loop(tmp_path, data):
     cfg = _cfg(n_iters=5)
     seed = 11

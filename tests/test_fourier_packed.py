@@ -6,6 +6,7 @@ re-routing of the same math — ops/packed.py), for both the training
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,7 @@ def _rays(n=16):
     return ro, rd, vd
 
 
+@pytest.mark.slow
 def test_packed_forward_matches_unpacked():
     cfg_u, params = _setup(packed=False)
     cfg_p, _ = _setup(packed=True)
@@ -78,6 +80,7 @@ def test_packed_forward_matches_unpacked():
     )
 
 
+@pytest.mark.slow
 def test_packed_gradients_match_unpacked():
     cfg_u, params = _setup(packed=False)
     cfg_p, _ = _setup(packed=True)
@@ -102,6 +105,7 @@ def test_packed_gradients_match_unpacked():
     )
 
 
+@pytest.mark.slow
 def test_budget_probe_stride_conservative():
     """With a dilated occupancy cache, the strided probe must select a
     superset-equivalent sample set: rendered output stays close to the

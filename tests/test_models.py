@@ -45,6 +45,7 @@ def _check(res, n):
     assert np.all(total >= 1.0 - 2e-3)
 
 
+@pytest.mark.slow
 def test_dvgo_forward_conservation():
     from unboundednerfpytorch_tpu.models import dvgo
 
@@ -117,6 +118,7 @@ def test_dmpigo_forward():
     assert live.std() / (live.mean() + 1e-9) < 0.3
 
 
+@pytest.mark.slow
 def test_scale_volume_grid_families():
     from unboundednerfpytorch_tpu.models import dcvgo, fourier_grid as fg
 

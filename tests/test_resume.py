@@ -50,6 +50,7 @@ def _leaves(tree):
     ]
 
 
+@pytest.mark.slow
 def test_resume_restores_optimizer_trajectory(tmp_path):
     data = synthetic.make_data_dict(n_views=3, H=16, W=16)
 

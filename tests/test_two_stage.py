@@ -41,7 +41,7 @@ def _rays(n, key):
     return ro, rd, vd
 
 
-@pytest.mark.parametrize("budget", [0, 48])
+@pytest.mark.parametrize("budget", [pytest.param(0, marks=pytest.mark.slow), 48])
 def test_two_stage_matches_single_stage(budget):
     cfg1 = _cfg(sample_budget=budget)
     params = fg.create(cfg1, jax.random.PRNGKey(0))
@@ -81,6 +81,7 @@ def test_two_stage_matches_single_stage(budget):
     )
 
 
+@pytest.mark.slow
 def test_two_stage_truncation_is_tail_only():
     """With a tiny color budget, the two-stage result equals compositing only
     each ray's first `cb` surviving samples (near->far order preserved)."""

@@ -196,14 +196,17 @@ class RenderCache:
     [T, 8*(1+k0_dim)] density+color table per bank — one gathered row serves
     both fields.
 
-    Two-stage layout (``color_budget > 0``): ``density_tables`` [B, T, 8]
-    (narrow rows gather ~1.6x faster) and ``k0_tables`` [B, T, 8*k0_dim],
+    Two-stage layout (``color_budget > 0``): ``density_tables``
+    [B, T/fold, fold*8] — fold bases per 128-lane row, since TPU pads the
+    trailing dim to 128 lanes and an unfolded 8-lane table physically
+    occupies 16x its logical bytes — and ``k0_tables`` [B, T, 8*k0_dim],
     touched only by the per-ray color_budget survivors of the weights
     threshold."""
 
     tables: jnp.ndarray | None = None
     density_tables: jnp.ndarray | None = None
     k0_tables: jnp.ndarray | None = None
+    density_fold: int = struct.field(pytree_node=False, default=1)
 
 
 # memory guards for the packed engine (bytes of one bank's packed table /
@@ -231,13 +234,23 @@ def _use_packed(params, cfg) -> bool:
     return packed_ops.packed_table_bytes(dims, cf, itemsize) <= _PACK_BYTES_LIMIT
 
 
-def build_render_cache(params, cfg) -> "RenderCache | None":
+def build_render_cache(
+    params, cfg, abstract: bool = False, out_formats: "RenderCache | None" = None
+) -> "RenderCache | None":
     """Pack the corner tables for all banks (rendering fast path).
 
     Fused layout when ``color_budget == 0``, split density/k0 layout for the
     two-stage engine otherwise. Returns None when the packed engine does not
     apply (non-fused bank structure, packing disabled, or tables too large
-    to cache)."""
+    to cache).
+
+    ``abstract``: return a RenderCache of jax.ShapeDtypeStruct leaves (no
+    compute) — for querying the renderer's preferred layouts BEFORE building.
+    ``out_formats``: a RenderCache of jax.experimental.layout.Format leaves
+    (renderer.aux_format output); the builder then writes each table
+    DIRECTLY in that layout via out_shardings, so the multi-GB tables never
+    need a post-hoc relayout copy (a transient old+new spike that OOMs a
+    16GB chip at 160^3)."""
     from unboundednerfpytorch_tpu.ops import packed as packed_ops
 
     if not _use_packed(params, cfg):
@@ -249,26 +262,50 @@ def build_render_cache(params, cfg) -> "RenderCache | None":
     if B * packed_ops.packed_table_bytes(dims, cf, itemsize) > _CACHE_BYTES_LIMIT:
         return None
 
+    def _per_bank(fn, grids, fmts):
+        """Pack bank-by-bank into a TUPLE of tables — bounds the build's
+        transient memory (pack intermediate + relayout) to one bank."""
+        out = []
+        for b in range(B):
+            if abstract:
+                out.append(jax.eval_shape(fn, grids[b]))
+                continue
+            kw = {"out_shardings": fmts[b]} if fmts is not None else {}
+            out.append(jax.jit(fn, **kw)(grids[b]))
+        return tuple(out)
+
     if cfg.color_budget > 0:
+        fold = max(1, 128 // 8)  # density is 1-channel: 16 bases per row
+        dt = _per_bank(
+            lambda g: packed_ops.pack_corners_folded(g, fold),
+            params.density.grid,
+            None if out_formats is None else out_formats.density_tables,
+        )
+        kt = _per_bank(
+            packed_ops.pack_corners,
+            params.k0.grid,
+            None if out_formats is None else out_formats.k0_tables,
+        )
+        return RenderCache(density_tables=dt, k0_tables=kt, density_fold=fold)
 
-        @jax.jit
-        def _build_split(density_grid, k0_grid):
-            dt = jax.lax.map(packed_ops.pack_corners, density_grid)
-            kt = jax.lax.map(packed_ops.pack_corners, k0_grid)
-            return dt, kt
+    def pack_fused(bank):
+        dg, kg = bank
+        return packed_ops.pack_corners(jnp.concatenate([dg, kg], axis=-1))
 
-        dt, kt = _build_split(params.density.grid, params.k0.grid)
-        return RenderCache(density_tables=dt, k0_tables=kt)
-
-    @jax.jit
-    def _build(density_grid, k0_grid):
-        def pack_bank(bank):
-            dg, kg = bank
-            return packed_ops.pack_corners(jnp.concatenate([dg, kg], axis=-1))
-
-        return jax.lax.map(pack_bank, (density_grid, k0_grid))
-
-    return RenderCache(tables=_build(params.density.grid, params.k0.grid))
+    banks = [
+        (params.density.grid[b], params.k0.grid[b]) for b in range(B)
+    ]
+    out = []
+    for b in range(B):
+        if abstract:
+            out.append(jax.eval_shape(pack_fused, banks[b]))
+            continue
+        kw = (
+            {"out_shardings": out_formats.tables[b]}
+            if out_formats is not None else {}
+        )
+        out.append(jax.jit(pack_fused, **kw)(banks[b]))
+    return RenderCache(tables=tuple(out))
 
 
 @struct.dataclass
@@ -555,7 +592,9 @@ def _forward_two_stage(
     density = None
     for b in range(B):
         base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
-        v = packed_ops.packed_trilerp(cache.density_tables[b], base, w, 1)
+        v = packed_ops.packed_trilerp_folded(
+            cache.density_tables[b], base, w, 1, cache.density_fold
+        )
         density = v if density is None else density + v
     density = density[..., 0] / B
     alpha = activate_density(params, cfg, density, interval)

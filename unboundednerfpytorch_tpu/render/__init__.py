@@ -42,7 +42,12 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
 
         cache = fg.build_render_cache(params, mcfg)
     fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
-    fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None)
+    # params + packed tables ride as jit arguments (renderer aux), never as
+    # captured constants
+    fwd = lambda aux, ro, rd, vd: fwd_core(
+        aux[0], ro, rd, vd, None, cache=aux[1]
+    )
+    aux = (params, cache)
 
     # optional ARF stylization of the render set (run_render.py:119-122,170-172)
     stylizer = None
@@ -90,6 +95,7 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             flip_x=cfg.data.flip_x,
             flip_y=cfg.data.flip_y,
             eval_lpips=getattr(args, "eval_lpips", False),
+            aux=aux,
         )
         rgbs = out["rgbs"]
         if stylizer is not None and len(rgbs):
@@ -154,7 +160,9 @@ def run_render_blocks(args, cfg, data_dict, exp_dir: str) -> None:
 
             cache = fg.build_render_cache(params, mcfg)
         fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
-        fwd = lambda ro, rd, vd, _p=params, _f=fwd_core: _f(_p, ro, rd, vd, None)
+        fwd = lambda aux, ro, rd, vd, _f=fwd_core: _f(
+            aux[0], ro, rd, vd, None, cache=aux[1]
+        )
         idx = i_train[b * per_block : (b + 1) * per_block]
         if idx.size == 0:
             continue
@@ -170,6 +178,7 @@ def run_render_blocks(args, cfg, data_dict, exp_dir: str) -> None:
             ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
             flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
             verbose=False,
+            aux=(params, cache),
         )
         all_rgbs.append(out["rgbs"])
         psnrs.extend(out["psnrs"])

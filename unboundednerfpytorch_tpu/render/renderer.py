@@ -24,17 +24,28 @@ DEFAULT_CHUNK = 8192  # the reference's render chunk (run_render.py:54)
 _BATCHED_CACHE: dict = {}
 
 
-def _batched_renderer(forward_fn, chunk: int, n_chunks: int):
+def _batched_renderer(forward_fn, chunk: int, n_chunks: int, has_aux: bool):
     """Jitted whole-image renderer, cached per (forward_fn, chunk, n_chunks)
-    so repeated views reuse the executable."""
-    key = (id(forward_fn), chunk, n_chunks)
+    so repeated views reuse the executable.
+
+    With ``has_aux``, model state (params/render cache) is threaded through
+    as a jit ARGUMENT instead of a captured closure constant — capturing
+    multi-GB packed tables as constants bakes them into the executable and
+    inflates compile time by minutes (measured: 5.97GB captured, ~470s
+    compile for the 160^3 two-stage cache). The aux input is compiled with
+    AUTO layouts and device_put into the executable's preferred format once
+    — otherwise XLA inserts a full layout-change copy of the tables at every
+    call (measured: a 6.84GB HBM copy of the k0 tables -> OOM)."""
+    key = (id(forward_fn), chunk, n_chunks, has_aux)
     if key in _BATCHED_CACHE:
         return _BATCHED_CACHE[key]
 
-    @jax.jit
-    def render_all(ro, rd, vd):
+    def render_all(aux, ro, rd, vd):
         def one(c):
-            res = forward_fn(c[0], c[1], c[2])
+            if has_aux:
+                res = forward_fn(aux, c[0], c[1], c[2])
+            else:
+                res = forward_fn(c[0], c[1], c[2])
             return res.rgb_marched, res.depth, res.alphainv_last
 
         return jax.lax.map(
@@ -46,11 +57,65 @@ def _batched_renderer(forward_fn, chunk: int, n_chunks: int):
             ),
         )
 
+    if has_aux and jax.default_backend() == "tpu":
+        from jax.experimental.layout import Format, Layout
+
+        jfn = jax.jit(
+            render_all,
+            in_shardings=(Format(Layout.AUTO), None, None, None),
+        )
+        state = {}
+
+        def ensure_compiled(aux, ro, rd, vd):
+            if "compiled" not in state:
+                compiled = jfn.lower(aux, ro, rd, vd).compile()
+                state["compiled"] = compiled
+                state["aux_fmt"] = compiled.input_formats[0][0]
+            return state["aux_fmt"]
+
+        def call(aux, ro, rd, vd):
+            ensure_compiled(aux, ro, rd, vd)
+            # no-op when aux is already in the preferred layout (it is, when
+            # the caller built it via aux_format()+out_shardings)
+            aux_opt = jax.device_put(aux, state["aux_fmt"])
+            return state["compiled"](aux_opt, ro, rd, vd)
+
+        call.ensure_compiled = ensure_compiled
+    else:
+        call = jax.jit(render_all)
+
     # bound the id()-keyed cache (function objects can be GC'd and ids reused)
     if len(_BATCHED_CACHE) > 64:
         _BATCHED_CACHE.clear()
-    _BATCHED_CACHE[key] = render_all
-    return render_all
+    _BATCHED_CACHE[key] = call
+    return call
+
+
+def aux_format(
+    forward_fn: Callable,
+    aux_shapes,
+    H: int,
+    W: int,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """The renderer executable's preferred layout for its aux input.
+
+    Compiles the whole-image render program against ABSTRACT shapes
+    (jax.ShapeDtypeStruct pytree for aux) so callers can build multi-GB
+    model state (packed tables) DIRECTLY in the final layout via
+    ``jax.jit(builder, out_shardings=<format subtree>)`` — avoiding the
+    transient old+new copy that a post-hoc relayout costs (a ~12GB HBM
+    spike for the 160^3 two-stage cache, which OOMs a 16GB chip).
+    Returns None off-TPU. The compile is cached and reused by the
+    subsequent render_image calls with the same (forward_fn, chunk,
+    n_chunks)."""
+    if jax.default_backend() != "tpu":
+        return None
+    n = H * W
+    n_chunks = -(-n // chunk)
+    batched = _batched_renderer(forward_fn, chunk, n_chunks, True)
+    rays = jax.ShapeDtypeStruct((n_chunks * chunk, 3), jnp.float32)
+    return batched.ensure_compiled(aux_shapes, rays, rays, rays)
 
 
 def render_image(
@@ -65,10 +130,16 @@ def render_image(
     flip_x: bool = False,
     flip_y: bool = False,
     chunk: int = DEFAULT_CHUNK,
+    aux=None,
 ):
     """Render one view. forward_fn(ro, rd, vd) -> RenderResult (jitted by
     the caller or here on first use). Returns (rgb [H,W,3], depth [H,W],
-    alphainv_last [H,W]) as numpy."""
+    alphainv_last [H,W]) as numpy.
+
+    ``aux``: optional pytree of model state (params, RenderCache, ...). When
+    given, forward_fn is called as forward_fn(aux, ro, rd, vd) and aux rides
+    as a jit argument — REQUIRED for large models, or the tables get baked
+    into the executable as constants (minutes of extra compile)."""
     ro, rd, vd = ray_ops.get_rays_of_a_view(
         H, W, jnp.asarray(K), jnp.asarray(c2w),
         ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
@@ -86,8 +157,8 @@ def render_image(
     # one dispatch for the whole image: lax.map over fixed-size chunks keeps
     # the device busy and amortizes per-call dispatch latency (a host loop
     # costs ~25ms/chunk through remote runtimes)
-    batched = _batched_renderer(forward_fn, chunk, n_chunks)
-    rgbs, depths, bgws = batched(ro, rd, vd)
+    batched = _batched_renderer(forward_fn, chunk, n_chunks, aux is not None)
+    rgbs, depths, bgws = batched(aux, ro, rd, vd)
     rgb = np.asarray(rgbs).reshape(-1, 3)[:n].reshape(H, W, 3)
     depth = np.asarray(depths).reshape(-1)[:n].reshape(H, W)
     bgw = np.asarray(bgws).reshape(-1)[:n].reshape(H, W)
@@ -110,6 +181,7 @@ def render_viewpoints(
     eval_lpips: bool = False,
     verbose: bool = True,
     log_fn=print,
+    aux=None,
 ):
     """Render a split of poses and (optionally) evaluate vs ground truth.
 
@@ -122,7 +194,8 @@ def render_viewpoints(
         K = np.asarray(Ks)[i]
         rgb, depth, bgw = render_image(
             forward_fn, H, W, K, c2w[:3, :4],
-            ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y, chunk=chunk,
+            ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
+            chunk=chunk, aux=aux,
         )
         rgbs.append(rgb)
         depths.append(depth)

@@ -154,13 +154,16 @@ def gather_training_rays(cfg: ExpConfig, data_dict: dict, host: bool = False) ->
 
 def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable:
     """Close the model family's forward over static config + render kwargs,
-    exposing the uniform (params, ro, rd, vd, key, img_index) signature used
-    by the train step. ``cache`` (FourierGrid only) is a pre-packed
-    RenderCache for the packed gather engine — pass it for rendering with
-    frozen params; training packs on the fly inside the step."""
+    exposing the uniform (params, ro, rd, vd, key, img_index, cache=...)
+    signature used by the train step. ``cache`` (FourierGrid only) is a
+    pre-packed RenderCache for the packed gather engine — pass it for
+    rendering with frozen params; training packs on the fly inside the
+    step. Callers that jit should thread BOTH params and cache through as
+    arguments (the per-call ``cache=`` kwarg), never as closure constants —
+    captured multi-GB tables bake into the executable (renderer.py)."""
     if family == "dvgo":
 
-        def fwd(params, ro, rd, vd, key, img_index=None):
+        def fwd(params, ro, rd, vd, key, img_index=None, cache=None):
             return dvgo.forward(
                 params, mcfg, ro, rd, vd,
                 near=render_kwargs["near"],
@@ -172,7 +175,7 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
     if family == "FourierGrid":
         from unboundednerfpytorch_tpu.models import fourier_grid as fg
 
-        def fwd(params, ro, rd, vd, key, img_index=None):
+        def fwd(params, ro, rd, vd, key, img_index=None, cache=cache):
             return fg.forward(
                 params, mcfg, ro, rd, vd,
                 stepsize=render_kwargs["stepsize"],
@@ -185,7 +188,7 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
     if family == "dcvgo":
         from unboundednerfpytorch_tpu.models import dcvgo
 
-        def fwd(params, ro, rd, vd, key, img_index=None):
+        def fwd(params, ro, rd, vd, key, img_index=None, cache=None):
             return dcvgo.forward(
                 params, mcfg, ro, rd, vd,
                 near=render_kwargs["near"],
@@ -197,7 +200,7 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
     if family == "dmpigo":
         from unboundednerfpytorch_tpu.models import dmpigo
 
-        def fwd(params, ro, rd, vd, key, img_index=None):
+        def fwd(params, ro, rd, vd, key, img_index=None, cache=None):
             return dmpigo.forward(
                 params, mcfg, ro, rd, vd,
                 stepsize=render_kwargs["stepsize"],
