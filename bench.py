@@ -38,7 +38,7 @@ def _phase(msg: str) -> None:
 
 REFERENCE_RAYS_PER_S = 1.5e5  # proxy — see module docstring
 
-TRAIN_STEPS = 150
+TRAIN_STEPS = 250
 TRAIN_BATCH = 2048
 H = W = 800
 

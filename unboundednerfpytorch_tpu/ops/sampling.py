@@ -285,5 +285,9 @@ def maskcache_lookup(
     sz = jnp.asarray(mask_grid.shape, dtype=jnp.int32)
     in_bounds = jnp.all((ijk >= 0) & (ijk < sz), axis=-1)
     ijk_c = jnp.clip(ijk, 0, sz - 1)
-    vals = mask_grid[ijk_c[..., 0], ijk_c[..., 1], ijk_c[..., 2]]
+    # flat 1-D take instead of 3-D advanced indexing: one fused index compute
+    # + single-axis gather runs ~1.4x faster on TPU (tools probe: 77 vs 53
+    # M rows/s)
+    flat_idx = (ijk_c[..., 0] * sz[1] + ijk_c[..., 1]) * sz[2] + ijk_c[..., 2]
+    vals = jnp.take(mask_grid.reshape(-1), flat_idx, mode="clip")
     return vals & in_bounds
