@@ -1,0 +1,112 @@
+"""Native TFRecord + tf.Example reader (data/tfrecord.py) and the
+tensorflow-free Waymo decode path (data/preprocess.decode_waymo_tfrecords)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from unboundednerfpytorch_tpu.data import preprocess, tfrecord as tfr
+
+
+def test_example_roundtrip():
+    feats = {
+        "image": b"\x89PNGfakebytes",
+        "height": [7],
+        "width": np.array([9]),
+        "equivalent_exposure": np.array([1.25], np.float32),
+        "ray_origins": np.arange(12, dtype=np.float32),
+    }
+    payload = tfr.encode_example(feats)
+    out = tfr.parse_example(payload)
+    assert out["image"][0] == feats["image"]
+    assert out["height"] == [7]
+    assert out["width"] == [9]
+    np.testing.assert_allclose(out["equivalent_exposure"], [1.25])
+    np.testing.assert_allclose(out["ray_origins"], np.arange(12))
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("verify", [False, True])
+def test_records_roundtrip(tmp_path, compress, verify):
+    payloads = [b"a" * 3, b"", os.urandom(1000)]
+    p = str(tmp_path / ("r.tfrecord" + (".gz" if compress else "")))
+    tfr.write_records(p, payloads, compress=compress)
+    got = tfr.read_records(p, verify_crc=verify)
+    assert got == payloads
+
+
+def test_crc_detects_corruption(tmp_path):
+    p = str(tmp_path / "r.tfrecord")
+    tfr.write_records(p, [b"hello world" * 10])
+    raw = bytearray(open(p, "rb").read())
+    raw[20] ^= 0xFF  # flip a payload byte
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        tfr.read_records(p, verify_crc=True)
+
+
+def test_native_matches_python_framing(tmp_path):
+    payloads = [os.urandom(n) for n in (1, 100, 4096, 0)]
+    p = str(tmp_path / "r.tfrecord")
+    tfr.write_records(p, payloads)
+    buf = open(p, "rb").read()
+    py = tfr._split_records_python(buf, True)
+    nat = tfr._split_records_native(buf, True)
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    assert [(int(o), int(l)) for o, l in nat] == py
+
+
+def _synth_frame(rng, h=6, w=8, cam_idx=0):
+    """A fake Waymo frame with a known pose."""
+    import imageio.v2 as iio
+
+    from scipy.spatial.transform import Rotation
+
+    fx = fy = 10.0
+    R = Rotation.from_euler("zyx", rng.uniform(-0.5, 0.5, 3)).as_matrix()
+    origin = rng.uniform(-1, 1, 3)
+    j, i = np.mgrid[0:h, 0:w].astype(np.float32)
+    cam_dirs = np.stack(
+        [(i - w / 2 + 0.5) / fx, -(j - h / 2 + 0.5) / fy, -np.ones_like(i)], -1
+    )
+    cam_dirs /= np.linalg.norm(cam_dirs, axis=-1, keepdims=True)
+    world_dirs = cam_dirs @ R.T
+    img = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    iio.imwrite(buf, img, format="png")
+    feats = {
+        "image_hash": [123],
+        "cam_idx": [cam_idx],
+        "equivalent_exposure": np.array([0.5], np.float32),
+        "height": [h],
+        "width": [w],
+        "image": buf.getvalue(),
+        "ray_origins": np.broadcast_to(
+            origin.astype(np.float32), (h, w, 3)
+        ).reshape(-1),
+        "ray_dirs": world_dirs.astype(np.float32).reshape(-1),
+        "intrinsics": np.array([fx, fy], np.float32),
+    }
+    return feats, R, origin
+
+
+def test_decode_waymo_tfrecords_tf_free(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = [_synth_frame(rng, cam_idx=k % 2) for k in range(3)]
+    payloads = [tfr.encode_example(f[0]) for f in frames]
+    rec = str(tmp_path / "waymo_train.tfrecord.gz")
+    tfr.write_records(rec, payloads, compress=True)
+
+    out = str(tmp_path / "decoded")
+    meta = preprocess.decode_waymo_tfrecords([rec], out, splits=("train",))
+    m = meta["train"]
+    assert len(m["file_path"]) == 3
+    for k, (feats, R, origin) in enumerate(frames):
+        c2w = np.asarray(m["cam2world"][k])
+        np.testing.assert_allclose(c2w[:3, :3], R, atol=1e-4)
+        np.testing.assert_allclose(c2w[:3, 3], origin, atol=1e-5)
+        assert os.path.exists(os.path.join(out, m["file_path"][k]))
+    assert m["cam_idx"] == [0, 1, 0]

@@ -4,8 +4,8 @@ Re-implements ``/root/reference/data_preprocess/``:
   * :func:`decode_waymo_tfrecords` — decode the official Waymo Block-NeRF
     release (image, ray origins/dirs, intrinsics, exposure) and recover the
     c2w rotation from the stored per-pixel ray directions by least squares
-    (``fetch_data_from_tf_record.py:28-77``). Requires tensorflow, which is
-    optional here — a clear error is raised if missing.
+    (``fetch_data_from_tf_record.py:28-77``). Tensorflow-free: uses the
+    native TFRecord/tf.Example reader (:mod:`..data.tfrecord`).
   * :func:`solve_block_diameter` — Newton solve for the centroid spacing
     giving a target circle-overlap ratio (``split_block.py:54-73``);
   * :func:`split_blocks` — camera-origin-radius block assignment with
@@ -131,26 +131,14 @@ def decode_waymo_tfrecords(
     splits: tuple = ("train", "val"),
 ) -> dict:
     """Decode the Waymo Block-NeRF TFRecords into images + metadata.json
-    (the format consumed by :mod:`unboundednerfpytorch_tpu.data.waymo`)."""
-    try:
-        import tensorflow as tf  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "decode_waymo_tfrecords requires tensorflow (not bundled); "
-            "decode on a machine with TF and ship metadata.json + pngs"
-        ) from e
+    (the format consumed by :mod:`unboundednerfpytorch_tpu.data.waymo`).
 
-    feature_spec = {
-        "image_hash": tf.io.FixedLenFeature([], tf.int64),
-        "cam_idx": tf.io.FixedLenFeature([], tf.int64),
-        "equivalent_exposure": tf.io.FixedLenFeature([], tf.float32),
-        "height": tf.io.FixedLenFeature([], tf.int64),
-        "width": tf.io.FixedLenFeature([], tf.int64),
-        "image": tf.io.FixedLenFeature([], tf.string),
-        "ray_origins": tf.io.VarLenFeature(tf.float32),
-        "ray_dirs": tf.io.VarLenFeature(tf.float32),
-        "intrinsics": tf.io.VarLenFeature(tf.float32),
-    }
+    Tensorflow-free: record framing + tf.Example parsing via
+    :mod:`unboundednerfpytorch_tpu.data.tfrecord` (native C++ framing with
+    pure-python fallback), PNG decode via imageio."""
+    import imageio.v2 as iio
+
+    from unboundednerfpytorch_tpu.data import tfrecord as tfr
 
     metadata = {s: {
         "file_path": [], "cam2world": [], "K": [], "width": [], "height": [],
@@ -163,15 +151,14 @@ def decode_waymo_tfrecords(
     idx = 0
     for path in tfrecord_paths:
         split = "val" if "validation" in os.path.basename(path) else "train"
-        ds = tf.data.TFRecordDataset(path, compression_type="GZIP")
-        for rec in ds:
-            b = tf.io.parse_single_example(rec, feature_spec)
-            h = int(b["height"])
-            w = int(b["width"])
-            K = np.array(tf.sparse.to_dense(b["intrinsics"]).numpy()).tolist()
-            origins = tf.sparse.to_dense(b["ray_origins"]).numpy().reshape(h, w, 3)
-            dirs = tf.sparse.to_dense(b["ray_dirs"]).numpy().reshape(h, w, 3)
-            img = tf.io.decode_png(b["image"]).numpy()
+        for rec in tfr.read_records(path):
+            b = tfr.parse_example(rec)
+            h = int(b["height"][0])
+            w = int(b["width"][0])
+            K = np.asarray(b["intrinsics"], np.float32).tolist()
+            origins = np.asarray(b["ray_origins"], np.float32).reshape(h, w, 3)
+            dirs = np.asarray(b["ray_dirs"], np.float32).reshape(h, w, 3)
+            img = iio.imread(b["image"][0])
 
             # camera-frame dirs from intrinsics; recover rotation by LS
             fx, fy = K[0], K[1]
@@ -201,8 +188,8 @@ def decode_waymo_tfrecords(
             m["width"].append(w)
             m["height"].append(h)
             m["position"].append(origin.tolist())
-            m["cam_idx"].append(int(b["cam_idx"]))
-            m["equivalent_exposure"].append(float(b["equivalent_exposure"]))
+            m["cam_idx"].append(int(b["cam_idx"][0]))
+            m["equivalent_exposure"].append(float(b["equivalent_exposure"][0]))
             idx += 1
 
     with open(os.path.join(out_dir, "metadata.json"), "w") as f:
