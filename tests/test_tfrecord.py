@@ -110,3 +110,45 @@ def test_decode_waymo_tfrecords_tf_free(tmp_path):
         np.testing.assert_allclose(c2w[:3, 3], origin, atol=1e-5)
         assert os.path.exists(os.path.join(out, m["file_path"][k]))
     assert m["cam_idx"] == [0, 1, 0]
+
+
+def test_extract_block_meta(tmp_path):
+    import json
+
+    root = tmp_path / "root"
+    for split in ("train", "val"):
+        (root / split / "rgbs").mkdir(parents=True)
+    meta = {
+        f"img{k}": {
+            "cam_idx": k % 2,
+            "c2w": [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, float(k)]],
+            "W": 8, "H": 6, "intrinsics": [10.0, 10.0],
+            "origin_pos": [0.0, 0.0, float(k)],
+        }
+        for k in range(4)
+    }
+    split_train = {"block_0": {"centroid": [0, 0, 0],
+                               "elements": [["img0", 0], ["img1", 1]]}}
+    split_val = {"block_0": [["img2", 0]]}
+    json.dump(split_train, open(root / "train" / "split_block_train.json", "w"))
+    json.dump(meta, open(root / "train" / "train_all_meta.json", "w"))
+    json.dump(split_val, open(root / "val" / "split_block_val.json", "w"))
+    json.dump(meta, open(root / "val" / "val_all_meta.json", "w"))
+
+    out = tmp_path / "block0"
+    unified = preprocess.extract_block_meta(
+        str(root), 0, str(out), copy_images=False
+    )
+    assert len(unified["train"]["file_path"]) == 2
+    # test split == val split except the image folder prefix (:93-96)
+    for k in unified["val"]:
+        if k != "file_path":
+            assert unified["test"][k] == unified["val"][k]
+    assert unified["test"]["file_path"][0].startswith("images_test/")
+    c2w = np.asarray(unified["train"]["cam2world"][1])
+    assert c2w.shape == (4, 4) and c2w[2, 3] == 1.0
+    p2c = np.asarray(unified["train"]["pix2cam"][0])
+    # K @ pix2cam should map the principal point ray to (0, 0, -1)
+    np.testing.assert_allclose(p2c @ np.array([4.0, 3.0, 1.0]), [0, 0, -1],
+                               atol=1e-9)
+    assert os.path.exists(out / "metadata.json")

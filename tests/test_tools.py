@@ -157,3 +157,42 @@ def test_gtk_regression_fourier_beats_voxel_on_bessel():
     r = g.regression_experiment(iterations=60, seed=3)
     mse_f = float(np.mean((r["y_fourier"] - r["signal"]) ** 2))
     assert mse_f < 0.05
+
+
+def test_scene_manager_surface(tmp_path):
+    d = os.path.join(str(tmp_path), "sparse", "0")
+    _write_colmap_model(d)
+    sm = colmap.SceneManager(d).load()
+    assert sm.cameras[1]["model"] == "PINHOLE"
+    assert sm.name_to_image_id == {"b.png": 1, "a.png": 2}
+    K = sm.camera_matrix(1)
+    np.testing.assert_allclose(K[0, 0], 500.0)
+    np.testing.assert_allclose(K[1, 2], 240.0)
+    # w2c/c2w round trip
+    w2c = sm.world_to_camera(1)
+    c2w = sm.camera_to_world(1)
+    np.testing.assert_allclose(w2c @ c2w, np.eye(4), atol=1e-12)
+    np.testing.assert_allclose(w2c[:3, 3], [0.1, 0.0, 2.0])
+    # points
+    assert sm.points3D.shape == (1, 3)
+    pts = sm.image_points3D(1)
+    np.testing.assert_allclose(pts, [[0.5, 0.5, 1.0]])
+    # filter: track len 2 survives min_track_len=2, dies at 3
+    assert sm.filter_points3D(min_track_len=2) == 1
+    assert sm.filter_points3D(min_track_len=3) == 0
+
+
+def test_scene_manager_text_model(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "cameras.txt"), "w") as f:
+        f.write("# comment\n1 SIMPLE_PINHOLE 64 48 50.0 32.0 24.0\n")
+    with open(os.path.join(d, "images.txt"), "w") as f:
+        f.write("# hdr\n1 1 0 0 0 0 0 2 1 x.png\n1.0 2.0 -1\n")
+    sm = colmap.SceneManager(d)
+    sm.load_cameras()
+    sm.load_images()
+    assert sm.cameras[1]["width"] == 64
+    K = sm.camera_matrix(1)
+    np.testing.assert_allclose(K[0, 0], 50.0)
+    assert sm.images[1]["name"] == "x.png"
+    np.testing.assert_allclose(sm.images[1]["tvec"], [0, 0, 2])

@@ -140,6 +140,155 @@ def qvec2rotmat(q: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# SceneManager facade (vendored pycolmap scene_manager.py equivalent surface)
+# ---------------------------------------------------------------------------
+
+def read_cameras_text(path: str) -> dict:
+    cameras = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cameras[int(parts[0])] = {
+                "model": parts[1],
+                "width": int(parts[2]),
+                "height": int(parts[3]),
+                "params": np.array([float(p) for p in parts[4:]]),
+            }
+    return cameras
+
+
+def read_images_text(path: str) -> dict:
+    images = {}
+    with open(path) as f:
+        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+    for meta_line, pts_line in zip(lines[0::2], lines[1::2]):
+        p = meta_line.split()
+        pts = pts_line.split()
+        xys = np.array([float(v) for v in pts]).reshape(-1, 3) if pts else np.zeros((0, 3))
+        images[int(p[0])] = {
+            "qvec": np.array([float(v) for v in p[1:5]]),
+            "tvec": np.array([float(v) for v in p[5:8]]),
+            "camera_id": int(p[8]),
+            "name": p[9],
+            "xys": xys[:, :2],
+            "point3D_ids": xys[:, 2].astype(np.int64) if len(xys) else np.zeros((0,), np.int64),
+        }
+    return images
+
+
+class SceneManager:
+    """Compact equivalent of the reference's vendored pycolmap SceneManager
+    (``/root/reference/FourierGrid/pycolmap/pycolmap/scene_manager.py:21+``):
+    loads a COLMAP sparse model (binary or text), exposes cameras / images /
+    points3D with name<->id maps, intrinsic matrices, and w2c/c2w pose math
+    — the surface run_colmap2standard.py builds on."""
+
+    INVALID_POINT3D = np.iinfo(np.uint64).max  # pycolmap uses uint64(-1)
+
+    def __init__(self, folder: str, image_path: str | None = None):
+        self.folder = folder
+        self.image_path = image_path
+        self.cameras: dict = {}
+        self.images: dict = {}
+        self.name_to_image_id: dict = {}
+        self.points3D = np.zeros((0, 3))
+        self.point3D_ids = np.empty(0, np.int64)
+        self.point3D_colors = np.zeros((0, 3), np.uint8)
+        self.point3D_errors = np.zeros((0,))
+        self.point3D_id_to_images: dict = {}
+
+    # --- loading ----------------------------------------------------------
+    def _path(self, stem: str) -> str:
+        for ext in (".bin", ".txt"):
+            p = os.path.join(self.folder, stem + ext)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"{stem}.bin/.txt not found in {self.folder}")
+
+    def load(self) -> "SceneManager":
+        self.load_cameras()
+        self.load_images()
+        self.load_points3D()
+        return self
+
+    def load_cameras(self):
+        p = self._path("cameras")
+        self.cameras = (
+            read_cameras_binary(p) if p.endswith(".bin") else read_cameras_text(p)
+        )
+
+    def load_images(self):
+        p = self._path("images")
+        self.images = (
+            read_images_binary(p) if p.endswith(".bin") else read_images_text(p)
+        )
+        self.name_to_image_id = {
+            im["name"]: iid for iid, im in self.images.items()
+        }
+
+    def load_points3D(self):
+        pts = read_points3d_binary(self._path("points3D"))
+        self.point3D_ids = np.array(sorted(pts.keys()), np.int64)
+        self.points3D = np.array(
+            [pts[i]["xyz"] for i in self.point3D_ids]
+        ) if len(self.point3D_ids) else np.zeros((0, 3))
+        self.point3D_colors = np.array(
+            [pts[i]["rgb"] for i in self.point3D_ids], np.uint8
+        ) if len(self.point3D_ids) else np.zeros((0, 3), np.uint8)
+        self.point3D_errors = np.array(
+            [pts[i]["error"] for i in self.point3D_ids]
+        )
+        self.point3D_id_to_images = {
+            int(i): pts[i]["image_ids"] for i in self.point3D_ids
+        }
+
+    # --- camera math (scene_manager.py get_camera_matrix equivalents) -----
+    def camera_matrix(self, camera_id: int) -> np.ndarray:
+        cam = self.cameras[camera_id]
+        p = cam["params"]
+        if cam["model"] == "SIMPLE_PINHOLE" or cam["model"] == "SIMPLE_RADIAL":
+            fx = fy = p[0]
+            cx, cy = p[1], p[2]
+        else:  # PINHOLE-style [fx fy cx cy ...]
+            fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+
+    def world_to_camera(self, image_id: int) -> np.ndarray:
+        im = self.images[image_id]
+        R = qvec2rotmat(im["qvec"])
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = im["tvec"]
+        return w2c
+
+    def camera_to_world(self, image_id: int) -> np.ndarray:
+        return np.linalg.inv(self.world_to_camera(image_id))
+
+    def image_points3D(self, image_id: int) -> np.ndarray:
+        """xyz of the valid 3D points observed by an image."""
+        ids = self.images[image_id]["point3D_ids"]
+        ids = ids[ids >= 0]
+        idx = np.searchsorted(self.point3D_ids, ids)
+        idx = idx[(idx < len(self.point3D_ids))]
+        return self.points3D[idx]
+
+    def filter_points3D(self, max_error: float = np.inf, min_track_len: int = 0):
+        """Keep points below a reprojection error / above a track length."""
+        track = np.array([
+            len(self.point3D_id_to_images[int(i)]) for i in self.point3D_ids
+        ]) if len(self.point3D_ids) else np.zeros((0,))
+        keep = (self.point3D_errors <= max_error) & (track >= min_track_len)
+        self.points3D = self.points3D[keep]
+        self.point3D_colors = self.point3D_colors[keep]
+        self.point3D_errors = self.point3D_errors[keep]
+        self.point3D_ids = self.point3D_ids[keep]
+        return int(keep.sum())
+
+
+# ---------------------------------------------------------------------------
 # poses_bounds.npy generation (tools/colmap_utils/pose_utils.py gen_poses)
 # ---------------------------------------------------------------------------
 

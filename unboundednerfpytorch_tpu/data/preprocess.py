@@ -110,7 +110,102 @@ def write_block_split(blocks: dict, out_path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
-# TFRecord decode (optional tensorflow)
+# Per-block metadata extraction (get_one_block_meta_and_visualize.py)
+# ---------------------------------------------------------------------------
+
+def get_pix2cam(focals, width, height):
+    """Inverse-intrinsics stack (get_one_block_meta_and_visualize.py:12-25)."""
+    fx = np.asarray(focals, np.float64)
+    fy = np.asarray(focals, np.float64)
+    cx = np.asarray(width, np.float64) * 0.5
+    cy = np.asarray(height, np.float64) * 0.5
+    arr0 = np.zeros_like(cx)
+    arr1 = np.ones_like(cx)
+    k_inv = np.array([
+        [arr1 / fx, arr0, -cx / fx],
+        [arr0, -arr1 / fy, cy / fy],
+        [arr0, arr0, -arr1],
+    ])
+    return np.moveaxis(k_inv, -1, 0).tolist()
+
+
+def extract_block_meta(
+    root_dir: str,
+    block_index: int,
+    out_dir: str,
+    near: float = 0.01,
+    far: float = 15.0,
+    copy_images: bool = True,
+) -> dict:
+    """Assemble one block's unified metadata.json + image folders from the
+    preprocessed Waymo dataset (get_one_block_meta_and_visualize.py:28-99):
+    reads split_block_{train,val}.json + {split}_all_meta.json, copies the
+    block's images into images_{train,val,test}/ and writes the per-split
+    {file_path, cam2world, width, height, focal, pix2cam, lossmult, near,
+    far} dict (the format data/waymo.py consumes)."""
+    import shutil
+
+    with open(os.path.join(root_dir, "train", "split_block_train.json")) as f:
+        train_split = json.load(f)
+    with open(os.path.join(root_dir, "train", "train_all_meta.json")) as f:
+        train_meta = json.load(f)
+    with open(os.path.join(root_dir, "val", "split_block_val.json")) as f:
+        val_split = json.load(f)
+    with open(os.path.join(root_dir, "val", "val_all_meta.json")) as f:
+        val_meta = json.load(f)
+
+    key = f"block_{block_index}"
+    train_imgs = train_split[key]["elements"]
+    val_entry = val_split[key]
+    val_imgs = val_entry["elements"] if isinstance(val_entry, dict) else val_entry
+
+    def form_unified(images, all_meta, save_prefix, split_prefix):
+        out = {k: [] for k in (
+            "file_path", "cam2world", "width", "height", "focal",
+        )}
+        nears, fars = [], []
+        os.makedirs(os.path.join(out_dir, save_prefix), exist_ok=True)
+        for idx, one_img in enumerate(images):
+            name = one_img[0] if isinstance(one_img, (list, tuple)) else one_img
+            m = all_meta[name]
+            final_path = os.path.join(
+                save_prefix, f"{m['cam_idx']}_{idx}.png"
+            )
+            if copy_images:
+                src = os.path.join(
+                    root_dir, split_prefix, "rgbs", name + ".png"
+                )
+                if os.path.exists(src):
+                    shutil.copyfile(src, os.path.join(out_dir, final_path))
+            c2w = [list(r) for r in m["c2w"]]
+            if len(c2w) == 3:
+                c2w.append([0.0, 0.0, 0.0, 1.0])
+            out["file_path"].append(final_path)
+            out["cam2world"].append(c2w)
+            out["width"].append(m["W"])
+            out["height"].append(m["H"])
+            out["focal"].append(m["intrinsics"][0])
+            nears.append(near)
+            fars.append(far)
+        out["pix2cam"] = get_pix2cam(out["focal"], out["width"], out["height"])
+        out["lossmult"] = [1.0] * len(out["height"])
+        out["near"] = nears
+        out["far"] = fars
+        return out
+
+    os.makedirs(out_dir, exist_ok=True)
+    train_dict = form_unified(train_imgs, train_meta, "images_train", "train")
+    val_dict = form_unified(val_imgs, val_meta, "images_val", "val")
+    test_dict = form_unified(val_imgs, val_meta, "images_test", "val")
+    # waymo has no test split: test = val (:95-96)
+    unified = {"train": train_dict, "val": val_dict, "test": test_dict}
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(unified, f)
+    return unified
+
+
+# ---------------------------------------------------------------------------
+# TFRecord decode (tensorflow-free)
 # ---------------------------------------------------------------------------
 
 def recover_rotation_from_rays(cam_dirs: np.ndarray, world_dirs: np.ndarray) -> np.ndarray:
