@@ -13,10 +13,32 @@ Prints one JSON line per device count + a final efficiency line.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 
+def _maybe_force_cpu() -> None:
+    """--cpu[=N]: run on N virtual CPU devices. The axon sitecustomize
+    imports jax at interpreter startup, so JAX_PLATFORMS in the environment
+    is NOT reliably honored — use jax.config.update + XLA_FLAGS before the
+    backend initializes (same dance as tests/conftest.py)."""
+    arg = next((a for a in sys.argv[1:] if a.startswith("--cpu")), None)
+    if arg is None:
+        return
+    n = int(arg.split("=")[1]) if "=" in arg else 8
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> None:
+    _maybe_force_cpu()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -88,7 +110,55 @@ def main() -> None:
     if len(results) > 1:
         base = results[counts[0]] / counts[0]
         eff = {n: round(results[n] / (n * base), 3) for n in counts}
-        print(json.dumps({"metric": "weak_scaling_efficiency", "value": eff}))
+        print(json.dumps({
+            "metric": "weak_scaling_efficiency", "value": eff,
+            "platform": jax.default_backend(),
+            "note": ("virtual CPU devices share one host's cores - mechanism "
+                     "validation only, not a throughput measurement"
+                     if jax.default_backend() == "cpu" else ""),
+        }))
+
+    # --- render scaling: one image rendered cooperatively per mesh size ----
+    import numpy as np
+
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.render import renderer
+
+    params = fg.create(cfg, jax.random.PRNGKey(0))
+
+    def rfwd(aux, ro, rd, vd):
+        return fg.forward(aux, cfg, ro, rd, vd, bg=1.0)
+
+    H = W = 128
+    K = np.array([[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1]],
+                 np.float32)
+    pose = synthetic.look_at_pose(np.array([2.5, 0.3, 0.8]), np.zeros(3))
+    render_results = {}
+    for n_dev in counts:
+        mesh = mesh_mod.make_mesh(n_dev) if n_dev > 1 else None
+        renderer.render_image(
+            rfwd, H, W, K, pose[:3, :4], chunk=2048, aux=params, mesh=mesh
+        )  # warm/compile
+        t0 = time.perf_counter()
+        for rep in range(2):
+            renderer.render_image(
+                rfwd, H, W, K, pose[:3, :4], chunk=2048, aux=params, mesh=mesh
+            )
+        dt = (time.perf_counter() - t0) / 2
+        render_results[n_dev] = H * W / dt
+        print(json.dumps({
+            "devices": n_dev, "render_rays_per_s": round(H * W / dt, 1),
+        }), flush=True)
+    if len(render_results) > 1:
+        base = render_results[counts[0]]
+        eff = {n: round(render_results[n] / (n * base), 3) for n in counts}
+        print(json.dumps({
+            "metric": "render_strong_scaling_efficiency", "value": eff,
+            "platform": jax.default_backend(),
+            "note": ("virtual CPU devices share one host's cores - mechanism "
+                     "validation only, not a throughput measurement"
+                     if jax.default_backend() == "cpu" else ""),
+        }))
 
 
 if __name__ == "__main__":

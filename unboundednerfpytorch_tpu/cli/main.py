@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--style_root", default="",
                    help="ARF style image dir (enables stylized rendering)")
     p.add_argument("--style_id", default="0")
+    p.add_argument("--bake_render", action="store_true",
+                   help="bake the Fourier banks into a single-bank grid "
+                        "before rendering (APPROXIMATE, ~7x fewer gather "
+                        "rows; fourier_grid.bake_for_rendering)")
+    p.add_argument("--bake_scale", type=float, default=1.26,
+                   help="linear resolution multiplier for --bake_render")
     return p
 
 

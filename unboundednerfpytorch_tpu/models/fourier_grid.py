@@ -210,16 +210,20 @@ class RenderCache:
 
 
 # memory guards for the packed engine (bytes of one bank's packed table /
-# of the full cached table set)
-_PACK_BYTES_LIMIT = int(1.7e9)
+# of the full cached table set); the per-bank limit admits the ~2.1GB table
+# of a 1.26x-upsampled single-bank bake (bake_for_rendering) on 16GB HBM
+_PACK_BYTES_LIMIT = int(2.6e9)
 _CACHE_BYTES_LIMIT = int(9e9)
 
 
 def _fused_banks(params: "FourierGridParams", cfg: "FourierGridConfig") -> bool:
+    """Density and k0 can share one gathered row when their bank structure
+    and resolution match — incl. single-bank (num_freqs==0) models such as
+    bake_for_rendering exports."""
     return (
         params.k0.num_freqs == params.density.num_freqs
+        and params.density.grid.shape[0] == params.k0.grid.shape[0]
         and params.density.grid.shape[1:4] == params.k0.grid.shape[1:4]
-        and cfg.fourier_freq_num > 0
     )
 
 
@@ -713,6 +717,70 @@ def update_occupancy_cache(params: FourierGridParams, cfg: FourierGridConfig):
     pooled = interp.max_pool_3d_same(alpha)
     new_mask = params.mask_cache.mask & (pooled > cfg.fast_color_thres)
     return params.replace(mask_cache=params.mask_cache.replace(mask=new_mask))
+
+
+def bake_for_rendering(
+    params: FourierGridParams,
+    cfg: FourierGridConfig,
+    scale: float = 1.26,
+    max_pts_per_slab: int = 1 << 20,
+):
+    """Bake the Fourier-bank field into a single-bank grid for fast rendering
+    (APPROXIMATE — an SNeRG/"baking"-style export the reference has no
+    equivalent of).
+
+    Evaluates density and k0 of the full [2K+1]-bank model on a dense world
+    lattice (``scale`` upsamples the linear resolution to absorb the
+    high-frequency banks' content) and returns (params_baked, cfg_baked)
+    with ``fourier_freq_num=0``: ONE bank instead of 2K+1, so every render
+    sample costs 1 gathered row per table instead of 7. The rgb MLP,
+    view/appearance embeddings, act_shift and occupancy cache carry over
+    unchanged.
+
+    Error is the lattice-resampling error of the composite field — bounded
+    by the field's smoothness between nodes; measure with
+    tests/test_bake.py-style PSNR-vs-exact before shipping renders."""
+    new_cfg = dataclasses.replace(
+        cfg,
+        fourier_freq_num=0,
+        num_voxels_density=int(cfg.num_voxels_density * scale**3),
+        num_voxels_rgb=int(cfg.num_voxels_rgb * scale**3),
+    )
+    wd = new_cfg.world_size_density
+    wr = new_cfg.world_size_rgb
+
+    def eval_on_lattice(field, ws, out_ch):
+        X, Y, Z = (int(v) for v in ws)
+        slab = max(1, min(X, max_pts_per_slab // max(Y * Z, 1)))
+        n_slabs = -(-X // slab)
+        xs = jnp.pad(jnp.linspace(cfg.xyz_min[0], cfg.xyz_max[0], X),
+                     (0, n_slabs * slab - X))
+        ys = jnp.linspace(cfg.xyz_min[1], cfg.xyz_max[1], Y)
+        zs = jnp.linspace(cfg.xyz_min[2], cfg.xyz_max[2], Z)
+
+        @jax.jit
+        def one(x_vals):
+            xyz = jnp.stack(jnp.meshgrid(x_vals, ys, zs, indexing="ij"), -1)
+            return field(xyz)
+
+        out = jax.lax.map(one, xs.reshape(n_slabs, slab))
+        return out.reshape(n_slabs * slab, Y, Z, out_ch)[:X]
+
+    dt = jnp.dtype(cfg.grid_dtype)
+    baked_density = eval_on_lattice(params.density, wd, 1).astype(dt)
+    baked_k0 = eval_on_lattice(params.k0, wr, cfg.k0_dim).astype(dt)
+
+    params_baked = params.replace(
+        density=FourierGrid(
+            grid=baked_density[None], xyz_min=params.density.xyz_min,
+            xyz_max=params.density.xyz_max, num_freqs=0,
+        ),
+        k0=FourierGrid(
+            grid=baked_k0[None], xyz_min=params.k0.xyz_min,
+            xyz_max=params.k0.xyz_max, num_freqs=0,
+        ),
+    )
+    return params_baked, new_cfg
 
 
 def maskout_near_cam_vox(

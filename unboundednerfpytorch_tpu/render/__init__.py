@@ -40,6 +40,13 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
     if family == "FourierGrid":
         from unboundednerfpytorch_tpu.models import fourier_grid as fg
 
+        if getattr(args, "bake_render", False) and mcfg.fourier_freq_num > 0:
+            # SNeRG-style single-bank bake: ~7x fewer gather rows,
+            # approximate (fourier_grid.bake_for_rendering docstring)
+            params, mcfg = fg.bake_for_rendering(
+                params, mcfg, scale=getattr(args, "bake_scale", 1.26)
+            )
+            print(f"baked render grids: {mcfg.world_size_density} single-bank")
         cache = fg.build_render_cache(params, mcfg)
     fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
     # params + packed tables ride as jit arguments (renderer aux), never as

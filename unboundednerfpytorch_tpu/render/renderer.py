@@ -24,7 +24,8 @@ DEFAULT_CHUNK = 8192  # the reference's render chunk (run_render.py:54)
 _BATCHED_CACHE: dict = {}
 
 
-def _batched_renderer(forward_fn, chunk: int, n_chunks: int, has_aux: bool):
+def _batched_renderer(forward_fn, chunk: int, n_chunks: int, has_aux: bool,
+                      mesh=None):
     """Jitted whole-image renderer, cached per (forward_fn, chunk, n_chunks)
     so repeated views reuse the executable.
 
@@ -36,7 +37,7 @@ def _batched_renderer(forward_fn, chunk: int, n_chunks: int, has_aux: bool):
     AUTO layouts and device_put into the executable's preferred format once
     — otherwise XLA inserts a full layout-change copy of the tables at every
     call (measured: a 6.84GB HBM copy of the k0 tables -> OOM)."""
-    key = (id(forward_fn), chunk, n_chunks, has_aux)
+    key = (id(forward_fn), chunk, n_chunks, has_aux, id(mesh))
     if key in _BATCHED_CACHE:
         return _BATCHED_CACHE[key]
 
@@ -57,7 +58,22 @@ def _batched_renderer(forward_fn, chunk: int, n_chunks: int, has_aux: bool):
             ),
         )
 
-    if has_aux and jax.default_backend() == "tpu":
+    if mesh is not None:
+        # distributed rendering: shard each chunk's ray axis over the data
+        # mesh axis (model state replicated; rays are embarrassingly
+        # parallel, so no collectives beyond the final gather of outputs)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ray_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        jfn = jax.jit(
+            render_all, in_shardings=(rep, ray_sh, ray_sh, ray_sh),
+        )
+
+        def call(aux, ro, rd, vd):
+            return jfn(aux, ro, rd, vd)
+
+    elif has_aux and jax.default_backend() == "tpu":
         from jax.experimental.layout import Format, Layout
 
         jfn = jax.jit(
@@ -131,10 +147,15 @@ def render_image(
     flip_y: bool = False,
     chunk: int = DEFAULT_CHUNK,
     aux=None,
+    mesh=None,
 ):
     """Render one view. forward_fn(ro, rd, vd) -> RenderResult (jitted by
     the caller or here on first use). Returns (rgb [H,W,3], depth [H,W],
     alphainv_last [H,W]) as numpy.
+
+    ``mesh``: optional jax Mesh with a `data` axis — each chunk's rays are
+    sharded across it (model state replicated), so a multi-chip slice
+    renders one image cooperatively.
 
     ``aux``: optional pytree of model state (params, RenderCache, ...). When
     given, forward_fn is called as forward_fn(aux, ro, rd, vd) and aux rides
@@ -157,7 +178,9 @@ def render_image(
     # one dispatch for the whole image: lax.map over fixed-size chunks keeps
     # the device busy and amortizes per-call dispatch latency (a host loop
     # costs ~25ms/chunk through remote runtimes)
-    batched = _batched_renderer(forward_fn, chunk, n_chunks, aux is not None)
+    batched = _batched_renderer(
+        forward_fn, chunk, n_chunks, aux is not None, mesh=mesh
+    )
     rgbs, depths, bgws = batched(aux, ro, rd, vd)
     rgb = np.asarray(rgbs).reshape(-1, 3)[:n].reshape(H, W, 3)
     depth = np.asarray(depths).reshape(-1)[:n].reshape(H, W)
@@ -182,6 +205,7 @@ def render_viewpoints(
     verbose: bool = True,
     log_fn=print,
     aux=None,
+    mesh=None,
 ):
     """Render a split of poses and (optionally) evaluate vs ground truth.
 
@@ -195,7 +219,7 @@ def render_viewpoints(
         rgb, depth, bgw = render_image(
             forward_fn, H, W, K, c2w[:3, :4],
             ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
-            chunk=chunk, aux=aux,
+            chunk=chunk, aux=aux, mesh=mesh,
         )
         rgbs.append(rgb)
         depths.append(depth)
