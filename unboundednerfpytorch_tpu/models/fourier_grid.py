@@ -749,7 +749,13 @@ def bake_for_rendering(
     wd = new_cfg.world_size_density
     wr = new_cfg.world_size_rgb
 
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
     def eval_on_lattice(field, ws, out_ch):
+        """Dense multi-bank evaluation through the packed-corner engine:
+        one gathered row per point per bank instead of eight (the 8-corner
+        path costs ~3.2G gather rows for a 201^3 bake — minutes; packed is
+        ~25x fewer)."""
         X, Y, Z = (int(v) for v in ws)
         slab = max(1, min(X, max_pts_per_slab // max(Y * Z, 1)))
         n_slabs = -(-X // slab)
@@ -757,13 +763,38 @@ def bake_for_rendering(
                      (0, n_slabs * slab - X))
         ys = jnp.linspace(cfg.xyz_min[1], cfg.xyz_max[1], Y)
         zs = jnp.linspace(cfg.xyz_min[2], cfg.xyz_max[2], Z)
+        B = field.grid.shape[0]
+        dims = field.grid.shape[1:4]
+        mn = jnp.asarray(field.xyz_min)
+        mx = jnp.asarray(field.xyz_max)
+
+        def eval_bank(table, c01_b):
+            base, w = packed_ops.corner_base_and_weights(c01_b, dims)
+            return packed_ops.packed_trilerp(table, base, w, out_ch)
 
         @jax.jit
-        def one(x_vals):
-            xyz = jnp.stack(jnp.meshgrid(x_vals, ys, zs, indexing="ij"), -1)
-            return field(xyz)
+        def one_bank(table, bank_index):
+            def one_slab(x_vals):
+                xyz = jnp.stack(
+                    jnp.meshgrid(x_vals, ys, zs, indexing="ij"), -1
+                )
+                coords = ((xyz - mn) / (mx - mn)) * 2.0 - 1.0
+                from unboundednerfpytorch_tpu.fields.grids import (
+                    nerf_pos_embed_coords,
+                )
 
-        out = jax.lax.map(one, xs.reshape(n_slabs, slab))
+                c01 = (nerf_pos_embed_coords(coords, field.num_freqs) + 1.0) * 0.5
+                return eval_bank(table, c01[..., bank_index, :])
+
+            return jax.lax.map(one_slab, xs.reshape(n_slabs, slab))
+
+        acc = None
+        for b in range(B):
+            table = jax.jit(packed_ops.pack_corners)(field.grid[b])
+            v = one_bank(table, b)
+            acc = v if acc is None else acc + v
+            del table
+        out = acc / B
         return out.reshape(n_slabs * slab, Y, Z, out_ch)[:X]
 
     dt = jnp.dtype(cfg.grid_dtype)
