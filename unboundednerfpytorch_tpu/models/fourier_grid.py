@@ -14,6 +14,7 @@ the [2K+1]-bank query is a vmapped trilinear gather mean-reduced on device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -717,6 +718,165 @@ def update_occupancy_cache(params: FourierGridParams, cfg: FourierGridConfig):
     pooled = interp.max_pool_3d_same(alpha)
     new_mask = params.mask_cache.mask & (pooled > cfg.fast_color_thres)
     return params.replace(mask_cache=params.mask_cache.replace(mask=new_mask))
+
+
+def render_rays_adaptive(
+    params: FourierGridParams,
+    cfg: FourierGridConfig,
+    cache: RenderCache,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    *,
+    bg: float = 0.0,
+    seg: int = 32,
+    img_index=None,
+):
+    """Host-coordinated adaptive ray pruning — the fixed-shape answer to the
+    reference CUDA renderer's per-ray early exit
+    (``render_utils_kernel.cu:592-601``: the march stops once T < 1e-3).
+
+    Phase A marches the first ``seg`` budget samples for ALL rays; the host
+    fetches the number of still-alive rays (ONE scalar sync) and picks a
+    power-of-two bucket; phase B marches the remaining samples only for the
+    bucket of survivors (top-k compaction, scatter-merge back). EXACT for
+    any alive count — the bucket is always >= the survivor count (worst
+    case = all rays) — because samples entered at T < 1e-3 get zero weight
+    in :func:`ops.alpha.alpha2weights` either way. Requires the two-stage
+    cache (split tables) and ``sample_budget > 0``.
+
+    Returns (rgb [N,3], depth [N], alphainv_last [N])."""
+    assert cache is not None and cache.density_tables is not None
+    S = cfg.sample_budget
+    assert 0 < seg < S, (seg, S)
+    N = rays_o.shape[0]
+    fns = _adaptive_fns(cfg, N, seg, img_index is None)
+
+    pts, t2, sel_mask, alpha_a, alive = fns["phase_a"](
+        params, cache, rays_o, rays_d
+    )
+    n_alive = int(jnp.sum(alive))  # the one host sync per call
+
+    bucket = N
+    for b in (N // 16, N // 8, N // 4, N // 2):
+        if b >= n_alive and b > 0:
+            bucket = b
+            break
+
+    idx, alpha_b = fns["phase_b"](bucket)(params, cache, pts, sel_mask, alive)
+    return fns["finish"](
+        params, cache, idx, alpha_a, alpha_b, pts, t2, sel_mask, viewdirs,
+        jnp.asarray(bg, jnp.float32),
+        img_index if img_index is not None else 0,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _adaptive_fns(cfg: FourierGridConfig, N: int, seg: int,
+                  no_img_index: bool) -> dict:
+    """Jitted phases of :func:`render_rays_adaptive`, cached per
+    (config, ray count, segment) so repeated image renders reuse
+    executables; phase_b additionally per survivor bucket size."""
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    S = cfg.sample_budget
+    interval = cfg.stepsize * cfg.voxel_size_ratio_density
+    thres = cfg.fast_color_thres
+
+    def density_of(cache, pts):
+        B = len(cache.density_tables)
+        d = None
+        c01b = jnp.moveaxis(_bank_coords01(cfg, pts), -2, 0)
+        dims = cfg.world_size_density
+        for b in range(B):
+            base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
+            v = packed_ops.packed_trilerp_folded(
+                cache.density_tables[b], base, w, 1, cache.density_fold
+            )
+            d = v if d is None else d + v
+        return d[..., 0] / B
+
+    @jax.jit
+    def phase_a(params, cache, ro, rd):
+        pts_all, inner, t = sample_ray(cfg, ro, rd)
+        S_full = pts_all.shape[1]
+        stride = max(1, cfg.budget_probe_stride)
+        if stride > 1:
+            pre_s = params.mask_cache(pts_all[:, ::stride])
+            pre = jnp.repeat(pre_s, stride, axis=1)[:, :S_full]
+        else:
+            pre = params.mask_cache(pts_all)
+        sel, sel_mask = sampling.compact_samples(pre, S)
+        stacked = jnp.concatenate(
+            [pts_all, jnp.broadcast_to(t, (N, S_full))[..., None]], -1
+        )
+        g = sampling.gather_samples(stacked, sel)
+        pts = g[..., :3]
+        t2 = g[..., 3]
+        density_a = density_of(cache, pts[:, :seg])
+        alpha_a = alpha_ops.raw2alpha(density_a, params.act_shift, interval)
+        alpha_a = jnp.where(sel_mask[:, :seg], alpha_a, 0.0)
+        if thres > 0:
+            alpha_a = jnp.where(alpha_a > thres, alpha_a, 0.0)
+        t_after = jnp.prod(1.0 - alpha_a, axis=-1)
+        alive = (t_after >= alpha_ops.EARLY_EXIT_T) & sel_mask[:, seg:].any(-1)
+        return pts, t2, sel_mask, alpha_a, alive
+
+    @functools.lru_cache(maxsize=8)
+    def phase_b(bucket: int):
+        @jax.jit
+        def run(params, cache, pts, sel_mask, alive):
+            score = alive.astype(jnp.int32)
+            _, idx = jax.lax.top_k(score, bucket)
+            pts_b = pts[idx, seg:]
+            m_b = sel_mask[idx, seg:] & alive[idx, None]
+            density_b = density_of(cache, pts_b)
+            alpha_b = alpha_ops.raw2alpha(density_b, params.act_shift, interval)
+            alpha_b = jnp.where(m_b, alpha_b, 0.0)
+            if thres > 0:
+                alpha_b = jnp.where(alpha_b > thres, alpha_b, 0.0)
+            return idx, alpha_b
+
+        return run
+
+    @jax.jit
+    def finish(params, cache, idx, alpha_a, alpha_b, pts, t2, sel_mask, vd,
+               bg, img_index):
+        alpha_tail = jnp.zeros((N, S - seg), alpha_a.dtype).at[idx].set(alpha_b)
+        alpha = jnp.concatenate([alpha_a, alpha_tail], axis=-1)
+        mask = alpha > 0.0
+        weights, alphainv_last = alpha_ops.alpha2weights(alpha, mask=mask)
+        if thres > 0:
+            mask = mask & (weights > thres)
+            weights = weights * mask.astype(weights.dtype)
+
+        cb = min(cfg.color_budget if cfg.color_budget > 0 else S, S)
+        sel2, sel2_mask = sampling.compact_samples(mask, cb)
+        stacked = jnp.concatenate(
+            [pts, weights[..., None].astype(pts.dtype)], -1
+        )
+        g = sampling.gather_samples(stacked, sel2)
+        pts_c = g[..., :3]
+        w_c = g[..., 3].astype(weights.dtype) * sel2_mask.astype(weights.dtype)
+        c01c = jnp.moveaxis(_bank_coords01(cfg, pts_c), -2, 0)
+        k0 = None
+        B = len(cache.k0_tables)
+        dims = cfg.world_size_rgb
+        for b in range(B):
+            base, w = packed_ops.corner_base_and_weights(c01c[b], dims)
+            v = packed_ops.packed_trilerp(
+                cache.k0_tables[b], base, w, cfg.k0_dim
+            )
+            k0 = v if k0 is None else k0 + v
+        k0 = k0 / B
+        rgb = _rgb_head(params, cfg, k0, vd,
+                        None if no_img_index else img_index, N, cb)
+        rgb_marched = common.composite(w_c, rgb, alphainv_last, bg)
+        s = 1.0 - 1.0 / (1.0 + t2)
+        depth = jnp.sum(weights * s, axis=-1)
+        return rgb_marched, depth, alphainv_last
+
+    return {"phase_a": phase_a, "phase_b": phase_b, "finish": finish}
 
 
 def bake_for_rendering(

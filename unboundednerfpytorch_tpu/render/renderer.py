@@ -148,10 +148,16 @@ def render_image(
     chunk: int = DEFAULT_CHUNK,
     aux=None,
     mesh=None,
+    rays_fn=None,
 ):
     """Render one view. forward_fn(ro, rd, vd) -> RenderResult (jitted by
     the caller or here on first use). Returns (rgb [H,W,3], depth [H,W],
     alphainv_last [H,W]) as numpy.
+
+    ``rays_fn``: optional whole-image override — called as
+    rays_fn(ro, rd, vd) with flat padded rays and must return (rgb, depth,
+    alphainv_last). Used for host-coordinated render drivers (e.g.
+    fourier_grid.render_rays_adaptive) that cannot live inside one jit.
 
     ``mesh``: optional jax Mesh with a `data` axis — each chunk's rays are
     sharded across it (model state replicated), so a multi-chip slice
@@ -178,10 +184,13 @@ def render_image(
     # one dispatch for the whole image: lax.map over fixed-size chunks keeps
     # the device busy and amortizes per-call dispatch latency (a host loop
     # costs ~25ms/chunk through remote runtimes)
-    batched = _batched_renderer(
-        forward_fn, chunk, n_chunks, aux is not None, mesh=mesh
-    )
-    rgbs, depths, bgws = batched(aux, ro, rd, vd)
+    if rays_fn is not None:
+        rgbs, depths, bgws = rays_fn(ro, rd, vd)
+    else:
+        batched = _batched_renderer(
+            forward_fn, chunk, n_chunks, aux is not None, mesh=mesh
+        )
+        rgbs, depths, bgws = batched(aux, ro, rd, vd)
     rgb = np.asarray(rgbs).reshape(-1, 3)[:n].reshape(H, W, 3)
     depth = np.asarray(depths).reshape(-1)[:n].reshape(H, W)
     bgw = np.asarray(bgws).reshape(-1)[:n].reshape(H, W)
