@@ -90,10 +90,11 @@ def nearclip(
 ) -> jnp.ndarray:
     """Near-camera density penalty (run_train.py:262-268).
 
-    The reference computes (density - density.detach()).sum() over samples with
-    t < thres — a zero-valued term whose *gradient* pushes density down is
-    actually zero too; faithful parity means the term contributes 0 loss and 0
-    grad, so we keep the same no-op-but-present contract.
+    The reference computes (density - density.detach()).sum() over samples
+    with t < thres: the VALUE is always zero, but the GRADIENT w.r.t.
+    density is the near mask itself — i.e. a constant-slope push-down on
+    density at near-camera samples, scaled by weight_nearclip. Pinned
+    against the torch expression in tests/test_ops_golden.py.
     """
     import jax
 
