@@ -8,7 +8,11 @@ jax.sharding-native (SURVEY.md §2.3):
     parameters are replicated; XLA SPMD inserts the gradient psum over ICI
     and overlaps it with the backward pass.
   * ``grid`` axis — huge voxel grids are sharded on their leading spatial
-    axis; trilinear reads at shard borders become XLA collective gathers.
+    axis; border reads either lower to XLA collective gathers (shard_params
+    + plain jnp.take) or go through the tuned halo exchange
+    (:mod:`unboundednerfpytorch_tpu.parallel.halo`: one ppermute of the
+    boundary plane + local gathers + psum — collective traffic independent
+    of grid size).
   * block parallelism (Block-NeRF scenes) maps blocks onto mesh slices; see
     :mod:`unboundednerfpytorch_tpu.parallel.blocks`.
 
