@@ -111,3 +111,24 @@ def test_host_store_stays_numpy():
     for k, v in store.items():
         assert isinstance(v, np.ndarray), f"{k} is {type(v)}"
     assert store["rgb"].shape[0] == 3 * 16 * 16
+
+
+def test_multihost_view_sharding_partitions_exactly():
+    from unboundednerfpytorch_tpu.train import step as step_mod
+
+    i_train = np.arange(11)
+    shards = [
+        step_mod.shard_views_for_host(i_train, p, 4) for p in range(4)
+    ]
+    joined = np.sort(np.concatenate(shards))
+    np.testing.assert_array_equal(joined, i_train)
+    # deterministic + disjoint
+    assert all(
+        set(a.tolist()).isdisjoint(b.tolist())
+        for i, a in enumerate(shards) for b in shards[i + 1:]
+    )
+    # identity single-process
+    np.testing.assert_array_equal(
+        step_mod.shard_views_for_host(i_train, 0, 1), i_train
+    )
+    assert step_mod.per_host_batch_size(4096, 4) == 1024

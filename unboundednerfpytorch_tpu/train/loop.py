@@ -308,6 +308,20 @@ def scene_rep_reconstruction(
     }
 
     use_host_store = cfg.data.load2gpu_on_the_fly
+    # multi-host input pipeline (SURVEY.md §7.3): each host stores only its
+    # deterministic view shard and draws its share of the global ray batch;
+    # identity on single-process runs
+    if jax.process_count() > 1:
+        import unboundednerfpytorch_tpu.train.step as step_mod_
+
+        data_dict = dict(data_dict)
+        data_dict["i_train"] = step_mod_.shard_views_for_host(
+            data_dict["i_train"]
+        )
+        cfg_train = dataclasses.replace(
+            cfg_train,
+            N_rand=step_mod_.per_host_batch_size(cfg_train.N_rand),
+        )
     store = gather_training_rays(cfg, data_dict, host=use_host_store)
 
     # 'in_maskcache' ray filter (dvgo.get_training_rays_in_maskcache_sampling):

@@ -251,6 +251,39 @@ def make_flatten_sampled_step(train_step, n_rand: int, donate: bool = True):
     return sampled_step
 
 
+def shard_views_for_host(
+    i_train, process_index: int | None = None, process_count: int | None = None
+):
+    """Deterministic per-host view partition for the multi-host input
+    pipeline (SURVEY.md §7.3): host h loads and stores only views
+    i_train[h::n], so the union over hosts is the full training set and no
+    image is loaded twice. Each host then draws its N_rand/n sub-batch from
+    its local store (the per-host sampling convention of data-parallel
+    input pipelines); the global batch is their concatenation via the
+    `data`-axis sharding. Identity on single-process runs."""
+    import jax
+
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    if n <= 1:
+        return i_train
+    import numpy as np
+
+    return np.asarray(i_train)[p::n]
+
+
+def per_host_batch_size(n_rand: int, process_count: int | None = None) -> int:
+    """Per-host share of the global ray batch (must divide evenly so the
+    global batch size matches the reference recipe exactly)."""
+    import jax
+
+    n = jax.process_count() if process_count is None else process_count
+    assert n_rand % n == 0, (
+        f"N_rand={n_rand} must be divisible by process_count={n}"
+    )
+    return n_rand // n
+
+
 class HostRayStoreSampler:
     """Host-resident ray store with epoch-permutation batching — the
     ``load2gpu_on_the_fly`` mode (run_train.py:242-248): the full flattened
