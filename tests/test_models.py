@@ -132,3 +132,43 @@ def test_scale_volume_grid_families():
     pf = fg.create(cfgf, jax.random.PRNGKey(1))
     pf2, cfgf2 = fg.scale_volume_grid(pf, cfgf, 24**3, 24**3)
     assert pf2.density.grid.shape[1:4] == cfgf2.world_size_density
+
+
+def test_dvgo_packed_render_cache_parity():
+    """dvgo.forward with the packed fused cache must match the plain path."""
+    import jax
+
+    from unboundednerfpytorch_tpu.models import dvgo as dv
+
+    cfg = dv.DVGOConfig(
+        xyz_min=(-1.0, -1.0, -1.0), xyz_max=(1.0, 1.0, 1.0),
+        num_voxels=24**3, num_voxels_base=24**3, alpha_init=1e-2,
+        fast_color_thres=1e-4, rgbnet_dim=6,
+    )
+    params = dv.create(cfg, jax.random.PRNGKey(0))
+    params = params.replace(
+        density=params.density.replace(
+            grid=params.density.grid
+            + jax.random.normal(jax.random.PRNGKey(1), params.density.grid.shape)
+        ),
+        k0=params.k0.replace(
+            grid=params.k0.grid
+            + jax.random.normal(jax.random.PRNGKey(2), params.k0.grid.shape)
+        ),
+    )
+    cache = dv.build_render_cache(params, cfg)
+    assert cache is not None
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    ro = jax.random.uniform(k1, (48, 3), minval=1.5, maxval=2.5)
+    rd = -ro + 0.1 * jax.random.normal(k2, (48, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    ref = dv.forward(params, cfg, ro, rd, vd, near=0.2, stepsize=0.5, bg=1.0)
+    got = dv.forward(params, cfg, ro, rd, vd, near=0.2, stepsize=0.5, bg=1.0,
+                     cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(got.rgb_marched), np.asarray(ref.rgb_marched),
+        atol=2e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.weights), np.asarray(ref.weights), atol=2e-5, rtol=1e-5
+    )

@@ -154,6 +154,35 @@ def activate_density(params: DVGOParams, cfg: DVGOConfig, density, interval=None
     return alpha_ops.raw2alpha(density, params.act_shift, interval)
 
 
+def build_render_cache(params: "DVGOParams", cfg: "DVGOConfig"):
+    """Packed-corner fused density+k0 table for rendering with frozen
+    params (ops/packed.py engine; one gathered row per sample instead of
+    eight per field). DenseGrid-only; None when inapplicable or oversized.
+    """
+    from unboundednerfpytorch_tpu.fields.grids import DenseGrid
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    if not (
+        isinstance(params.density, DenseGrid)
+        and isinstance(params.k0, DenseGrid)
+        and params.density.grid.shape[:3] == params.k0.grid.shape[:3]
+        and not cfg.rgbnet_full_implicit
+    ):
+        return None
+    cf = 1 + params.k0.grid.shape[-1]
+    itemsize = jnp.dtype(params.density.grid.dtype).itemsize
+    if packed_ops.packed_table_bytes(
+        params.density.grid.shape[:3], cf, itemsize
+    ) > int(2.6e9):
+        return None
+
+    @jax.jit
+    def _build(dg, kg):
+        return packed_ops.pack_corners(jnp.concatenate([dg, kg], axis=-1))
+
+    return _build(params.density.grid, params.k0.grid)
+
+
 def forward(
     params: DVGOParams,
     cfg: DVGOConfig,
@@ -165,8 +194,12 @@ def forward(
     stepsize: float,
     bg: float = 1.0,
     n_samples_override: int | None = None,
+    cache=None,
 ) -> common.RenderResult:
-    """Volume-render a batch of rays (reference forward, dvgo.py:330-425)."""
+    """Volume-render a batch of rays (reference forward, dvgo.py:330-425).
+
+    ``cache``: optional packed fused table (:func:`build_render_cache`) —
+    density and k0 then cost ONE gathered row per sample together."""
     N = rays_o.shape[0]
     S = n_samples_override or n_samples(cfg, stepsize)
     stepdist = stepsize * cfg.voxel_size
@@ -182,7 +215,20 @@ def forward(
     # known-freespace skip (maskcache gather -> multiplicative mask)
     mask = mask & params.mask_cache(pts)
 
-    density = params.density(pts)[..., 0]  # [N, S]
+    fused_vals = None
+    if cache is not None:
+        from unboundednerfpytorch_tpu.fields.grids import _norm01
+        from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+        dims = params.density.grid.shape[:3]
+        c01 = _norm01(pts, params.density.xyz_min, params.density.xyz_max)
+        base, w = packed_ops.corner_base_and_weights(c01, dims)
+        fused_vals = packed_ops.packed_trilerp(
+            cache, base, w, 1 + params.k0.grid.shape[-1]
+        )
+        density = fused_vals[..., 0]
+    else:
+        density = params.density(pts)[..., 0]  # [N, S]
     alpha = activate_density(params, cfg, density, interval)
     if cfg.fast_color_thres > 0:
         mask = mask & (alpha > cfg.fast_color_thres)
@@ -195,6 +241,8 @@ def forward(
     # color
     if cfg.rgbnet_full_implicit:
         k0 = jnp.zeros((*pts.shape[:-1], 0), dtype=pts.dtype)
+    elif fused_vals is not None:
+        k0 = fused_vals[..., 1:]
     else:
         k0 = params.k0(pts)  # [N, S, k0_dim]
 

@@ -163,12 +163,13 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
     captured multi-GB tables bake into the executable (renderer.py)."""
     if family == "dvgo":
 
-        def fwd(params, ro, rd, vd, key, img_index=None, cache=None):
+        def fwd(params, ro, rd, vd, key, img_index=None, cache=cache):
             return dvgo.forward(
                 params, mcfg, ro, rd, vd,
                 near=render_kwargs["near"],
                 stepsize=render_kwargs["stepsize"],
                 bg=render_kwargs["bg"],
+                cache=cache,
             )
 
         return fwd
