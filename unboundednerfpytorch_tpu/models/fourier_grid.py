@@ -477,23 +477,24 @@ def forward(
                 v = packed_ops.packed_trilerp(cache.tables[b], base, w, cf)
                 vals = v if vals is None else vals + v
         elif use_packed:
-            # training: pack per bank on the fly inside a scan (one packed
-            # table live at a time bounds memory; backward is one wide-row
-            # scatter per bank + a static 8-slice reduce through the pack)
+            # training: pack per bank on the fly in an UNROLLED loop —
+            # lax.scan serialized the bank bodies and saved conservative
+            # residuals, costing ~1.45x on fwd+bwd (measured 531 vs 365 ms
+            # per 2048x134-sample step at 160^3); unrolled, XLA schedules
+            # each bank's pack/gather/scatter freely and frees tables
+            # between banks. Backward stays one wide-row scatter per bank +
+            # a static 8-slice reduce through the pack.
             c01b = jnp.moveaxis(c01, -2, 0)  # [B, N, S, 3]
-
-            def bank_body(carry, inp):
-                dg, kg, c_b = inp
+            vals = None
+            for b in range(B):
                 table = packed_ops.pack_corners(
-                    jnp.concatenate([dg, kg], axis=-1)
+                    jnp.concatenate(
+                        [params.density.grid[b], params.k0.grid[b]], axis=-1
+                    )
                 )
-                base, w = packed_ops.corner_base_and_weights(c_b, dims)
-                return carry + packed_ops.packed_trilerp(table, base, w, cf), None
-
-            init = jnp.zeros((*c01b.shape[1:-1], cf), jnp.float32)
-            vals, _ = jax.lax.scan(
-                bank_body, init, (params.density.grid, params.k0.grid, c01b)
-            )
+                base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
+                v = packed_ops.packed_trilerp(table, base, w, cf)
+                vals = v if vals is None else vals + v
         else:
             vals = None
             for b in range(B):
