@@ -172,3 +172,50 @@ def test_dvgo_packed_render_cache_parity():
     np.testing.assert_allclose(
         np.asarray(got.weights), np.asarray(ref.weights), atol=2e-5, rtol=1e-5
     )
+
+
+def test_dcvgo_and_dmpigo_packed_render_cache_parity():
+    import jax
+
+    from unboundednerfpytorch_tpu.models import dcvgo as dc
+    from unboundednerfpytorch_tpu.models import dmpigo as dm
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    ro = jax.random.uniform(k1, (32, 3), minval=1.2, maxval=2.0)
+    rd = -ro + 0.1 * jax.random.normal(k2, (32, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+    ccfg = dc.DCVGOConfig(
+        scene_center=(0.0, 0.0, 0.0), scene_radius=(1.0, 1.0, 1.0),
+        num_voxels=20**3, num_voxels_base=20**3, alpha_init=1e-2,
+        fast_color_thres=1e-4, rgbnet_dim=4, rgbnet_depth=2,
+        rgbnet_width=16, stepsize=1.0,
+    )
+    cp = dc.create(ccfg, key)
+    cp = cp.replace(density=cp.density.replace(
+        grid=cp.density.grid + jax.random.normal(k1, cp.density.grid.shape)))
+    cc = dc.build_render_cache(cp, ccfg)
+    assert cc is not None
+    ref = dc.forward(cp, ccfg, ro, rd, vd, bg=1.0)
+    got = dc.forward(cp, ccfg, ro, rd, vd, bg=1.0, cache=cc)
+    np.testing.assert_allclose(np.asarray(got.rgb_marched),
+                               np.asarray(ref.rgb_marched), atol=2e-5, rtol=1e-5)
+
+    mcfg = dm.DMPIGOConfig(
+        xyz_min=(-1.0, -1.0, 0.0), xyz_max=(1.0, 1.0, 1.0),
+        num_voxels=20 * 20 * 32, mpi_depth=32, fast_color_thres=1e-4,
+        rgbnet_dim=4, rgbnet_depth=2, rgbnet_width=16, stepsize=1.0,
+    )
+    mp = dm.create(mcfg, key)
+    mp = mp.replace(density=mp.density.replace(
+        grid=mp.density.grid + jax.random.normal(k2, mp.density.grid.shape)))
+    mc = dm.build_render_cache(mp, mcfg)
+    assert mc is not None
+    ro2 = jnp.stack([ro[:, 0] * 0.1, ro[:, 1] * 0.1, -jnp.ones(32) * 1.0], -1)
+    rd2 = jnp.stack([rd[:, 0] * 0.05, rd[:, 1] * 0.05, jnp.ones(32)], -1)
+    vd2 = rd2 / jnp.linalg.norm(rd2, axis=-1, keepdims=True)
+    ref = dm.forward(mp, mcfg, ro2, rd2, vd2, bg=1.0)
+    got = dm.forward(mp, mcfg, ro2, rd2, vd2, bg=1.0, cache=mc)
+    np.testing.assert_allclose(np.asarray(got.rgb_marched),
+                               np.asarray(ref.rgb_marched), atol=2e-5, rtol=1e-5)

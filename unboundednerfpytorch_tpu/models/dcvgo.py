@@ -173,6 +173,33 @@ def sample_ray(cfg: DCVGOConfig, rays_o, rays_d):
     return pts, inner, t
 
 
+def build_render_cache(params: "DCVGOParams", cfg: "DCVGOConfig"):
+    """Packed-corner fused density+k0 table for rendering with frozen
+    params (ops/packed.py; one gathered row per sample for both fields).
+    DenseGrid-only; None when inapplicable or oversized."""
+    from unboundednerfpytorch_tpu.fields.grids import DenseGrid
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    if not (
+        isinstance(params.density, DenseGrid)
+        and isinstance(params.k0, DenseGrid)
+        and params.density.grid.shape[:3] == params.k0.grid.shape[:3]
+    ):
+        return None
+    cf = 1 + params.k0.grid.shape[-1]
+    itemsize = jnp.dtype(params.density.grid.dtype).itemsize
+    if packed_ops.packed_table_bytes(
+        params.density.grid.shape[:3], cf, itemsize
+    ) > int(2.6e9):
+        return None
+
+    @jax.jit
+    def _build(dg, kg):
+        return packed_ops.pack_corners(jnp.concatenate([dg, kg], axis=-1))
+
+    return _build(params.density.grid, params.k0.grid)
+
+
 def forward(
     params: DCVGOParams,
     cfg: DCVGOConfig,
@@ -184,6 +211,7 @@ def forward(
     stepsize: float | None = None,
     bg: float = 1.0,
     rand_bkgd_key: jax.Array | None = None,
+    cache=None,
 ) -> common.RenderResult:
     del near  # contracted sampling ignores near/far (dcvgo.py:228)
     stepsize = cfg.stepsize if stepsize is None else stepsize
@@ -203,7 +231,20 @@ def forward(
 
     mask = mask & params.mask_cache(pts)
 
-    density = params.density(pts)[..., 0]
+    fused_vals = None
+    if cache is not None:
+        from unboundednerfpytorch_tpu.fields.grids import _norm01
+        from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+        dims = params.density.grid.shape[:3]
+        c01 = _norm01(pts, params.density.xyz_min, params.density.xyz_max)
+        base, w = packed_ops.corner_base_and_weights(c01, dims)
+        fused_vals = packed_ops.packed_trilerp(
+            cache, base, w, 1 + params.k0.grid.shape[-1]
+        )
+        density = fused_vals[..., 0]
+    else:
+        density = params.density(pts)[..., 0]
     alpha = activate_density(params, cfg, density, interval)
     if cfg.fast_color_thres > 0:
         mask = mask & (alpha > cfg.fast_color_thres)
@@ -213,7 +254,7 @@ def forward(
         mask = mask & (weights > cfg.fast_color_thres)
         weights = weights * mask.astype(weights.dtype)
 
-    k0 = params.k0(pts)
+    k0 = fused_vals[..., 1:] if fused_vals is not None else params.k0(pts)
     if params.rgbnet is None:
         rgb = jax.nn.sigmoid(k0[..., :3])
     else:

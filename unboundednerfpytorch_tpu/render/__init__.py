@@ -37,10 +37,13 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
         "stepsize": cfg.fine_model_and_render.stepsize,
     }
     cache = None
-    if family == "dvgo":
-        from unboundednerfpytorch_tpu.models import dvgo as dvgo_mod
+    if family in ("dvgo", "dcvgo", "dmpigo"):
+        import importlib
 
-        cache = dvgo_mod.build_render_cache(params, mcfg)
+        mod = importlib.import_module(
+            f"unboundednerfpytorch_tpu.models.{family}"
+        )
+        cache = mod.build_render_cache(params, mcfg)
     if family == "FourierGrid":
         from unboundednerfpytorch_tpu.models import fourier_grid as fg
 

@@ -189,23 +189,25 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
     if family == "dcvgo":
         from unboundednerfpytorch_tpu.models import dcvgo
 
-        def fwd(params, ro, rd, vd, key, img_index=None, cache=None):
+        def fwd(params, ro, rd, vd, key, img_index=None, cache=cache):
             return dcvgo.forward(
                 params, mcfg, ro, rd, vd,
                 near=render_kwargs["near"],
                 stepsize=render_kwargs["stepsize"],
                 bg=render_kwargs["bg"],
+                cache=cache,
             )
 
         return fwd
     if family == "dmpigo":
         from unboundednerfpytorch_tpu.models import dmpigo
 
-        def fwd(params, ro, rd, vd, key, img_index=None, cache=None):
+        def fwd(params, ro, rd, vd, key, img_index=None, cache=cache):
             return dmpigo.forward(
                 params, mcfg, ro, rd, vd,
                 stepsize=render_kwargs["stepsize"],
                 bg=render_kwargs["bg"],
+                cache=cache,
             )
 
         return fwd
