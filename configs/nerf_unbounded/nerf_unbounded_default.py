@@ -49,4 +49,11 @@ fine_model_and_render = dict(
         6500: 1e-4,
     },
     world_bound_scale=1,
+    # TPU render fast path (exact; see ARCHITECTURE.md "performance
+    # playbook"): bf16 grids, occupancy-guided 96-sample budget, stride-2
+    # probe, weights-compacted color pass
+    grid_dtype='bfloat16',
+    sample_budget=96,
+    budget_probe_stride=2,
+    color_budget=32,
 )

@@ -48,4 +48,9 @@ fine_model_and_render = dict(
     world_bound_scale=1,
     contracted_norm='l2',
     maskout_near_cam_vox=False,
+    # TPU render fast path (exact; ARCHITECTURE.md performance playbook)
+    grid_dtype='bfloat16',
+    sample_budget=96,
+    budget_probe_stride=2,
+    color_budget=32,
 )

@@ -47,4 +47,9 @@ fine_model_and_render = dict(
     bg_len=0.2,
     viewbase_pe=8,
     t_boundary=1.5,
+    # TPU render fast path (exact)
+    grid_dtype='bfloat16',
+    sample_budget=96,
+    budget_probe_stride=2,
+    color_budget=32
 )
