@@ -47,7 +47,11 @@ fine_model_and_render = dict(
     bg_len=0.2,
     viewbase_pe=8,
     t_boundary=1.5,
-    # TPU render fast path (exact)
+    # TPU render fast path — exact up to color_budget weights-threshold
+    # survivors per ray: rays with more (fog/semi-transparent regions) have
+    # their lowest-transmittance tail dropped; the renderer reports the
+    # overflow fraction (RenderResult.color_overflow_frac) so truncation is
+    # observable
     grid_dtype='bfloat16',
     sample_budget=96,
     budget_probe_stride=2,

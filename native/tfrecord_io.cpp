@@ -95,7 +95,10 @@ extern "C" long long tfr_split_records(
     if (verify_crc && masked_crc(buf + pos, 8) != load_u32(buf + pos + 8))
       return -3;
     size_t start = pos + 12;
-    if (start + rec_len + 4 > len) return -1;
+    // subtraction form: `start + rec_len + 4 > len` wraps for huge corrupt
+    // rec_len (e.g. 2^64-8) and would pass, then the payload crc reads out
+    // of bounds. start <= len already holds (pos + 12 check above).
+    if (rec_len > len - start || len - start - rec_len < 4) return -1;
     if (verify_crc &&
         masked_crc(buf + start, rec_len) != load_u32(buf + start + rec_len))
       return -3;

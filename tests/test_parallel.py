@@ -73,6 +73,62 @@ def test_dp_step_matches_single_device():
 
 
 @needs_8
+def test_flagship_loop_dp_matches_single_device():
+    """The SHIPPED training path (loop.scene_rep_reconstruction) builds the
+    DP mesh automatically and must reproduce the single-device trajectory at
+    the same seed (VERDICT r2 item 1: the mechanism was tested, but the
+    flagship loop never used it)."""
+    import dataclasses as dc
+
+    from unboundednerfpytorch_tpu.configs.schema import (
+        DataConfig, ExpConfig, ModelRenderConfig, TrainStageConfig,
+    )
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.train import loop as loop_mod
+
+    data = synthetic.make_data_dict(n_views=3, H=16, W=16)
+    mr = ModelRenderConfig(
+        num_voxels_density=16**3, num_voxels_rgb=16**3,
+        num_voxels_base_density=16**3, num_voxels_base_rgb=16**3,
+        rgbnet_dim=6, rgbnet_width=32, rgbnet_depth=2,
+        alpha_init=1e-2, fast_color_thres=1e-4, fourier_freq_num=2,
+        stepsize=1.0, maskout_near_cam_vox=False,
+    )
+    tr = TrainStageConfig(
+        N_iters=4, N_rand=64, pg_scale=(), pervoxel_lr=False,
+        weight_entropy_last=0.001, weight_rgbper=0.01,
+        skip_zero_grad_fields=("density", "k0"),
+    )
+    cfg = ExpConfig(
+        expname="dp_loop", model="FourierGrid",
+        data=DataConfig(dataset_type="synthetic", white_bkgd=True),
+        fine_model_and_render=mr, fine_train=tr,
+    )
+    xyz_min, xyz_max = (-3.0, -3.0, -3.0), (3.0, 3.0, 3.0)
+
+    logs = []
+    out_dp = loop_mod.scene_rep_reconstruction(
+        cfg, mr, tr, xyz_min, xyz_max, data, stage="fine", seed=5,
+        log_fn=lambda m: logs.append(str(m)), use_mesh=True,
+    )
+    assert any("DP over 8 devices" in m for m in logs), logs
+    out_1d = loop_mod.scene_rep_reconstruction(
+        cfg, mr, tr, xyz_min, xyz_max, data, stage="fine", seed=5,
+        log_fn=lambda *a: None, use_mesh=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dp[2].density.grid),
+        np.asarray(out_1d[2].density.grid),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dp[2].k0.grid),
+        np.asarray(out_1d[2].k0.grid),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+@needs_8
 @pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util

@@ -47,6 +47,23 @@ def test_crc_detects_corruption(tmp_path):
         tfr.read_records(p, verify_crc=True)
 
 
+@pytest.mark.parametrize("verify", [False, True])
+def test_huge_rec_len_rejected(verify):
+    """A corrupt header with rec_len near 2^64 must raise, not wrap the
+    bounds check (unsigned overflow) and read out of bounds / segfault."""
+    import struct
+
+    length_bytes = struct.pack("<Q", 2**64 - 8)
+    buf = length_bytes + struct.pack("<I", tfr.masked_crc(length_bytes))
+    buf += b"\x00" * 64  # some in-bounds "payload" bytes
+    with pytest.raises(ValueError):
+        tfr._split_records_python(buf, verify)
+    nat = tfr._native_lib()
+    if nat is not None:
+        with pytest.raises(ValueError):
+            tfr._split_records_native(buf, verify)
+
+
 def test_native_matches_python_framing(tmp_path):
     payloads = [os.urandom(n) for n in (1, 100, 4096, 0)]
     p = str(tmp_path / "r.tfrecord")

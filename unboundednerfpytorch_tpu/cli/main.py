@@ -110,11 +110,13 @@ def main(argv=None) -> int:
                 from unboundednerfpytorch_tpu.train import block_parallel
 
                 block_parallel.run_train_blocks_parallel(
-                    cfg, data_dict, block_num, exp_dir, seed=args.seed
+                    cfg, data_dict, block_num, exp_dir, seed=args.seed,
+                    no_reload=args.no_reload, save_every=args.i_weights,
                 )
             else:
                 loop.run_train_blocks(
-                    cfg, data_dict, block_num, exp_dir, seed=args.seed
+                    cfg, data_dict, block_num, exp_dir, seed=args.seed,
+                    no_reload=args.no_reload, save_every=args.i_weights,
                 )
             print(f"block training finished ({block_num} blocks)")
             return 0

@@ -268,12 +268,19 @@ class SceneManager:
         return np.linalg.inv(self.world_to_camera(image_id))
 
     def image_points3D(self, image_id: int) -> np.ndarray:
-        """xyz of the valid 3D points observed by an image."""
+        """xyz of the valid 3D points observed by an image.
+
+        Referenced ids absent from point3D_ids (e.g. dropped by
+        filter_points3D, or an inconsistent model) are skipped — a bare
+        searchsorted would silently map them to a neighboring point
+        (pycolmap scene_manager id->index semantics)."""
         ids = self.images[image_id]["point3D_ids"]
         ids = ids[ids >= 0]
         idx = np.searchsorted(self.point3D_ids, ids)
-        idx = idx[(idx < len(self.point3D_ids))]
-        return self.points3D[idx]
+        inb = idx < len(self.point3D_ids)
+        idx, ids = idx[inb], ids[inb]
+        hit = self.point3D_ids[idx] == ids
+        return self.points3D[idx[hit]]
 
     def filter_points3D(self, max_error: float = np.inf, min_track_len: int = 0):
         """Keep points below a reprojection error / above a track length."""

@@ -36,6 +36,15 @@ class RenderResult(NamedTuple):
     # dcvgo extra: per-ray weight mass inside the foreground region
     # (dcvgo.py:354-358); None for other families
     wsum_mid: jnp.ndarray | None = None
+    # two-stage render only: fraction of rays whose weights-threshold
+    # survivors overflowed color_budget (their tail weights were dropped) —
+    # makes the truncation observable instead of silent. None elsewhere.
+    color_overflow_frac: jnp.ndarray | None = None
+    # two-stage render only: raw_rgb above is COMPACTED [N, color_budget, 3]
+    # and pairs with the compacted weights, NOT the full [N, S] `weights`
+    # field — training losses (rgbper) must not consume it. True marks that
+    # render-only layout so the train step can assert against it.
+    rgb_compacted: bool = False
 
 
 def act_shift_from_alpha_init(alpha_init: float) -> float:

@@ -210,11 +210,38 @@ class RenderCache:
     density_fold: int = struct.field(pytree_node=False, default=1)
 
 
-# memory guards for the packed engine (bytes of one bank's packed table /
-# of the full cached table set); the per-bank limit admits the ~2.1GB table
-# of a 1.26x-upsampled single-bank bake (bake_for_rendering) on 16GB HBM
-_PACK_BYTES_LIMIT = int(2.6e9)
-_CACHE_BYTES_LIMIT = int(9e9)
+# HBM fractions for the packed-engine guards (bytes of one bank's packed
+# table / of the full cached table set). The 16GB-v5e ratios that admitted
+# the ~2.1GB table of a 1.26x single-bank bake: 2.6GB/16GB and 9GB/16GB.
+_PACK_HBM_FRAC = 0.1625
+_CACHE_HBM_FRAC = 0.5625
+
+
+@functools.lru_cache(maxsize=1)
+def _hbm_bytes() -> int:
+    """Per-chip HBM, read from the device (a hardcoded limit would refuse
+    tables a 95GB v5p easily holds); 16GB-class fallback when memory_stats
+    is unavailable (CPU test platform, axon relay)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        total = int(
+            (stats or {}).get("bytes_limit")
+            or (stats or {}).get("bytes_reservable_limit")
+            or 0
+        )
+        if total > 0:
+            return total
+    except Exception:  # noqa: BLE001 — any backend quirk -> fallback
+        pass
+    return int(16e9)
+
+
+def _pack_bytes_limit() -> int:
+    return int(_hbm_bytes() * _PACK_HBM_FRAC)
+
+
+def _cache_bytes_limit() -> int:
+    return int(_hbm_bytes() * _CACHE_HBM_FRAC)
 
 
 def _fused_banks(params: "FourierGridParams", cfg: "FourierGridConfig") -> bool:
@@ -236,7 +263,7 @@ def _use_packed(params, cfg) -> bool:
     dims = params.density.grid.shape[1:4]
     cf = 1 + cfg.k0_dim
     itemsize = jnp.dtype(params.density.grid.dtype).itemsize
-    return packed_ops.packed_table_bytes(dims, cf, itemsize) <= _PACK_BYTES_LIMIT
+    return packed_ops.packed_table_bytes(dims, cf, itemsize) <= _pack_bytes_limit()
 
 
 def build_render_cache(
@@ -264,7 +291,7 @@ def build_render_cache(
     dims = params.density.grid.shape[1:4]
     cf = 1 + cfg.k0_dim
     itemsize = jnp.dtype(params.density.grid.dtype).itemsize
-    if B * packed_ops.packed_table_bytes(dims, cf, itemsize) > _CACHE_BYTES_LIMIT:
+    if B * packed_ops.packed_table_bytes(dims, cf, itemsize) > _cache_bytes_limit():
         return None
 
     def _per_bank(fn, grids, fmts):
@@ -613,6 +640,10 @@ def _forward_two_stage(
 
     # --- stage 2: color only for the per-ray survivors ----------------------
     cb = min(cfg.color_budget, S)
+    # truncation observability (exact only up to cb survivors per ray)
+    overflow_frac = jnp.mean(
+        (jnp.sum(mask, axis=-1) > cb).astype(jnp.float32)
+    )
     sel2, sel2_mask = sampling.compact_samples(mask, cb)
     stacked = jnp.concatenate(
         [pts, weights[..., None].astype(pts.dtype)], axis=-1
@@ -646,13 +677,15 @@ def _forward_two_stage(
         alphainv_last=alphainv_last,
         weights=weights,
         raw_alpha=alpha,
-        raw_rgb=rgb,  # NOTE: compacted [N, color_budget, 3]
+        raw_rgb=rgb,  # compacted [N, color_budget, 3]; see rgb_compacted
         raw_density=density,
         mask=mask,
         t=t2,
         s=s,
         depth=depth,
         n_max=n_max,
+        color_overflow_frac=overflow_frac,
+        rgb_compacted=True,
     )
 
 

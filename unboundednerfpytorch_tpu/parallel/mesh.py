@@ -50,6 +50,16 @@ def maybe_initialize_distributed(log_fn=None) -> bool:
         w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
     ]
     try:
+        if (coord and nproc) or len(workers) > 1:
+            # CPU multi-process (tests / local rehearsal) needs an explicit
+            # cross-process collectives backend; TPU slices bring their own
+            if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+                try:
+                    jax.config.update(
+                        "jax_cpu_collectives_implementation", "gloo"
+                    )
+                except Exception:  # noqa: BLE001 — older jaxlib w/o gloo
+                    pass
         if coord and nproc:
             jax.distributed.initialize(
                 coordinator_address=coord,
@@ -109,6 +119,31 @@ def grid_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items() if v is not None}
+
+
+def make_global_batch(mesh: Mesh, local_batch: dict) -> dict:
+    """Assemble the global ray batch from per-process local batches.
+
+    In a multi-controller run each host samples its share of the global
+    batch from its local view-shard store; feeding those per-host numpy
+    arrays straight to ``jax.jit`` is UNDEFINED (inputs differ across
+    processes). This builds one global jax.Array per field — sharded
+    ``P('data')`` over the global mesh, each process contributing its
+    addressable shards — so the jitted DP step sees a consistent global
+    batch and XLA's gradient psum spans all processes (the semantics of the
+    reference's DDP all-reduce, train_block_nerf.py:127-128).
+
+    Single-process: equivalent to :func:`shard_batch`."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, sh)
+            for k, v in local_batch.items() if v is not None
+        }
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in local_batch.items() if v is not None
+    }
 
 
 def shard_params(mesh: Mesh, params, shard_grids: bool = False):

@@ -107,12 +107,20 @@ def run_train_blocks_parallel(
     log_fn=print,
     merge: bool = True,
     devices=None,
+    no_reload: bool = False,
+    save_every: int = 0,
 ):
     """Train all blocks concurrently; save fine_last_{b} ckpts + min-merge.
 
     Semantics match running the same single-block recipe (shared bbox,
     per-block PRNG seed + per-step fold_in) sequentially — verified by
-    tests/test_block_parallel.py against a python-loop execution."""
+    tests/test_block_parallel.py against a python-loop execution.
+
+    Crash recovery mirrors the reference's implicit per-block resume
+    (run_train.py:112-136 applied per block): ``save_every`` periodically
+    writes every block's fine_last_{b} (params + Adam moments + step); a
+    rerun with the same exp_dir restacks them and continues mid-run instead
+    of restarting from step 1."""
     from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
 
     family = loop_mod.model_family_name(cfg)
@@ -132,20 +140,36 @@ def run_train_blocks_parallel(
     store, n_valid = _stacked_stores(cfg, data_dict, blocks)
     n_valid_j = jnp.asarray(n_valid, jnp.int32)
 
-    # per-block init (distinct seeds, like run_train_blocks' seed + b)
-    inits = [
-        loop_mod.build_model(
-            cfg, cfg_model, cfg_train, xyz_min, xyz_max,
-            jax.random.PRNGKey(seed + b),
+    start_step = 0
+    resume = _load_block_ckpts(exp_dir, k_blocks) if not no_reload else None
+    if resume is not None:
+        family, mcfg, params_list, start_step, opt_bytes_list = resume
+        states = []
+        for p, ob in zip(params_list, opt_bytes_list):
+            st = create_train_state(p, cfg_train, start_step=start_step)
+            if ob is not None:
+                st = st.replace(
+                    opt_state=jax.tree.map(
+                        jnp.asarray, ckpt.restore_opt_state(ob, st.opt_state)
+                    )
+                )
+            states.append(st)
+        state = _stack_trees(states)
+        log_fn(f"block-parallel: resumed {k_blocks} blocks at step {start_step}")
+    else:
+        # per-block init (distinct seeds, like run_train_blocks' seed + b)
+        inits = [
+            loop_mod.build_model(
+                cfg, cfg_model, cfg_train, xyz_min, xyz_max,
+                jax.random.PRNGKey(seed + b),
+            )
+            for b in range(k_blocks)
+        ]
+        family = inits[0][0]
+        mcfg = inits[0][1]
+        state = _stack_trees(
+            [create_train_state(p, cfg_train) for _, _, p in inits]
         )
-        for b in range(k_blocks)
-    ]
-    family = inits[0][0]
-    mcfg = inits[0][1]
-    params_stacked = _stack_trees([p for _, _, p in inits])
-    state = _stack_trees(
-        [create_train_state(p, cfg_train) for _, _, p in inits]
-    )
 
     mesh = block_mesh(k_blocks, devices)
     shard = NamedSharding(mesh, P("block"))
@@ -178,23 +202,57 @@ def run_train_blocks_parallel(
         vstep = jax.vmap(one_block)
         return jax.jit(vstep, donate_argnums=(0,))
 
+    # training-time sample budget deferred until the first occupancy refresh,
+    # exactly like the sequential recipe (loop.py deferred_budget): the cache
+    # is all-True at init, so the fixed-budget compaction would arbitrarily
+    # truncate each ray's far samples and starve distant geometry.
+    deferred_budget = 0
+    if (getattr(mcfg, "sample_budget", 0) > 0 and cfg_train.pg_scale
+            and start_step < min(cfg_train.pg_scale)):
+        deferred_budget = mcfg.sample_budget
+        mcfg = dataclasses.replace(mcfg, sample_budget=0)
+
     vstep = compile_vstep(mcfg)
     base_key = jax.random.PRNGKey(seed)
 
     pg_steps = set(int(s) for s in (cfg_train.pg_scale or ()))
     num_vox_d, num_vox_r = mcfg.num_voxels_density, mcfg.num_voxels_rgb
 
-    for step in range(1, cfg_train.N_iters + 1):
+    def save_blocks(step_now: int, opt_state=None) -> list[str]:
+        params_list = _unstack_tree(jax.device_get(state.params), k_blocks)
+        opt_list = (
+            _unstack_tree(jax.device_get(state.opt_state), k_blocks)
+            if opt_state is not None else [None] * k_blocks
+        )
+        paths = []
+        for b, (p, o) in enumerate(zip(params_list, opt_list)):
+            path = os.path.join(exp_dir, f"fine_last_{b}")
+            ckpt.save_model(
+                path, family, mcfg, p, global_step=step_now, opt_state=o
+            )
+            paths.append(path)
+        return paths
+
+    for step in range(1 + start_step, cfg_train.N_iters + 1):
         if step in pg_steps:
-            # re-stack boundary: per-block progressive upsampling + fresh
-            # optimizer (run_train.py:187-201), then re-jit
+            # re-stack boundary: per-block progressive upsampling, act_shift
+            # decay, deferred-budget enable + fresh optimizer
+            # (run_train.py:187-201 / loop.py pg boundary), then re-jit
             num_vox_d *= 2
             num_vox_r *= 2
             params_list = _unstack_tree(state.params, k_blocks)
             new_list = []
             for p in params_list:
                 p2, mcfg = _scale_block(family, p, mcfg, num_vox_d, num_vox_r)
+                p2 = p2.replace(
+                    act_shift=p2.act_shift - cfg_train.decay_after_scale
+                )
                 new_list.append(p2)
+            if deferred_budget:
+                # occupancy just refreshed from trained density inside
+                # scale_volume_grid -> the budget compaction is now safe
+                mcfg = dataclasses.replace(mcfg, sample_budget=deferred_budget)
+                deferred_budget = 0
             state = _stack_trees(
                 [
                     create_train_state(p, cfg_train, start_step=step - 1)
@@ -214,19 +272,43 @@ def run_train_blocks_parallel(
                 f"block-parallel step {step}: psnr "
                 + " ".join(f"{v:.2f}" for v in psnrs)
             )
+        if save_every and step % save_every == 0 and step < cfg_train.N_iters:
+            save_blocks(step, opt_state=state.opt_state)
 
-    # save per-block ckpts + min-merge (ckpt_manager semantics)
-    params_list = _unstack_tree(jax.device_get(state.params), k_blocks)
-    paths = []
-    for b, p in enumerate(params_list):
-        path = os.path.join(exp_dir, f"fine_last_{b}")
-        ckpt.save_model(path, family, mcfg, p)
-        paths.append(path)
+    # save per-block ckpts (incl. Adam moments, like the reference's
+    # optimizer_state_dict in fine_last.tar) + min-merge
+    paths = save_blocks(cfg_train.N_iters, opt_state=state.opt_state)
     if merge and len(paths) > 1:
         merged = os.path.join(exp_dir, "fine_last_merged")
         ckpt.merge_blocks(paths, merged)
         log_fn(f"block-parallel: merged {len(paths)} blocks -> {merged}")
     return paths
+
+
+def _load_block_ckpts(exp_dir: str, k_blocks: int):
+    """Restack mid-run per-block checkpoints for implicit resume. Returns
+    (family, mcfg, params_list, step, opt_bytes_list) when every block has a
+    checkpoint at a common non-final step, else None."""
+    from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
+
+    loaded = []
+    for b in range(k_blocks):
+        path = os.path.join(exp_dir, f"fine_last_{b}")
+        if not os.path.exists(os.path.join(path, "meta.json")):
+            return None
+        loaded.append(ckpt.load_model(path))
+    steps = {int(l[3]) for l in loaded}
+    if len(steps) != 1 or steps == {0}:
+        # blocks out of sync (crash mid-save) or final saves without a step:
+        # safer to restart than to resume from mixed states
+        return None
+    family, mcfg = loaded[0][0], loaded[0][1]
+    return (
+        family, mcfg,
+        [l[2] for l in loaded],
+        int(steps.pop()),
+        [l[4] for l in loaded],
+    )
 
 
 def _scale_block(family: str, params, mcfg, num_vox_d: int, num_vox_r: int):

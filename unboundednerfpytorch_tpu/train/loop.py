@@ -249,8 +249,18 @@ def scene_rep_reconstruction(
     no_reload_optimizer: bool = False,
     save_every: int = 0,
     coarse_mask_fn=None,
+    use_mesh: bool | None = None,
 ):
-    """One training stage; returns (family, model config, trained params, psnr)."""
+    """One training stage; returns (family, model config, trained params, psnr).
+
+    ``use_mesh``: ray/batch data-parallelism over all visible chips (the
+    NCCL-DDP replacement, SURVEY.md §2.3) — params replicated, the per-step
+    ray batch sharded over a `data` mesh axis, gradient psum inserted by XLA
+    over ICI. None = auto (on when >1 device and N_rand divides evenly);
+    False forces single-device execution. Multi-process runs additionally
+    assemble the global batch from per-host view-shard stores
+    (parallel.mesh.make_global_batch), so the DP step is well-defined across
+    hosts."""
     # world_bound_scale bbox inflation (run_train.py:100-104)
     xyz_min = np.asarray(xyz_min, np.float64)
     xyz_max = np.asarray(xyz_max, np.float64)
@@ -311,20 +321,41 @@ def scene_rep_reconstruction(
     }
 
     use_host_store = cfg.data.load2gpu_on_the_fly
+
+    # ray/batch data parallelism (auto when >1 chip is visible)
+    from unboundednerfpytorch_tpu.parallel import mesh as mesh_mod
+
+    n_dev = len(jax.devices())
+    auto_mesh = use_mesh if use_mesh is not None else n_dev > 1
+    mesh = None
+    if auto_mesh and n_dev > 1:
+        if cfg_train.N_rand % n_dev == 0:
+            mesh = mesh_mod.make_mesh()
+            log_fn(f"{stage}: DP over {n_dev} devices (mesh axis 'data')")
+        else:
+            log_fn(
+                f"{stage}: N_rand={cfg_train.N_rand} not divisible by "
+                f"{n_dev} devices — training single-device"
+            )
+
     # multi-host input pipeline (SURVEY.md §7.3): each host stores only its
-    # deterministic view shard and draws its share of the global ray batch;
-    # identity on single-process runs
+    # deterministic view shard and draws its share of the global ray batch
+    # host-side; the global batch array is assembled per step
+    # (make_global_batch). Identity on single-process runs.
+    n_rand_local = cfg_train.N_rand
     if jax.process_count() > 1:
         import unboundednerfpytorch_tpu.train.step as step_mod_
 
+        assert mesh is not None, (
+            "multi-process training requires the DP mesh "
+            f"(N_rand={cfg_train.N_rand} must divide {n_dev} global devices)"
+        )
         data_dict = dict(data_dict)
         data_dict["i_train"] = step_mod_.shard_views_for_host(
             data_dict["i_train"]
         )
-        cfg_train = dataclasses.replace(
-            cfg_train,
-            N_rand=step_mod_.per_host_batch_size(cfg_train.N_rand),
-        )
+        n_rand_local = step_mod_.per_host_batch_size(cfg_train.N_rand)
+        use_host_store = True  # global-batch assembly is host-side
     store = gather_training_rays(cfg, data_dict, host=use_host_store)
 
     # 'in_maskcache' ray filter (dvgo.get_training_rays_in_maskcache_sampling):
@@ -400,22 +431,37 @@ def scene_rep_reconstruction(
     # epoch-permutation semantics; 'random' is with-replacement. With
     # load2gpu_on_the_fly the store stays in host RAM and batches are sliced
     # host-side, else the sampler is fused into the jitted step.
+    def place(tree):
+        """Commit a pytree to the mesh, replicated (params/opt state/store:
+        every chip holds a copy; only the batch is sharded)."""
+        if mesh is None:
+            return tree
+        return jax.device_put(tree, mesh_mod.replicated(mesh))
+
+    state = place(state)
+
     flatten = cfg_train.ray_sampler in ("flatten", "in_maskcache")
     host_sampler = None
     samp_holder: dict = {}
     if use_host_store:
         from unboundednerfpytorch_tpu.train import step as step_mod
 
+        # per-process seed: each host draws an independent share of the
+        # global batch from its local view-shard store (identical to `seed`
+        # on single-process runs, where process_index() == 0)
         host_sampler = step_mod.HostRayStoreSampler(
-            store, cfg_train.N_rand, seed=seed,
+            store, n_rand_local, seed=seed + jax.process_index(),
             mode="flatten" if flatten else "random",
         )
     elif flatten:
         from unboundednerfpytorch_tpu.train import step as step_mod
 
-        samp_holder["samp"] = step_mod.init_sampler_state(
+        store = place(store)
+        samp_holder["samp"] = place(step_mod.init_sampler_state(
             int(store["rgb"].shape[0]), jax.random.fold_in(key, 2**31 - 1)
-        )
+        ))
+    else:
+        store = place(store)
 
     def compile_step(mcfg_now, params_now):
         fwd = make_forward(family, mcfg_now, render_kwargs)
@@ -434,14 +480,26 @@ def scene_rep_reconstruction(
         if use_host_store:
             jitted = jax.jit(core, donate_argnums=(0,))
 
-            def run(state, k_step):
-                return jitted(state, host_sampler.next_batch(), k_step)
+            if mesh is not None:
+
+                def run(state, k_step):
+                    batch = mesh_mod.make_global_batch(
+                        mesh, host_sampler.next_batch()
+                    )
+                    return jitted(state, batch, k_step)
+
+            else:
+
+                def run(state, k_step):
+                    return jitted(state, host_sampler.next_batch(), k_step)
 
             return run
         if flatten:
             from unboundednerfpytorch_tpu.train import step as step_mod
 
-            fstep = step_mod.make_flatten_sampled_step(core, cfg_train.N_rand)
+            fstep = step_mod.make_flatten_sampled_step(
+                core, cfg_train.N_rand, mesh=mesh
+            )
 
             def run(state, k_step):
                 new_state, samp_holder["samp"], metrics = fstep(
@@ -450,7 +508,7 @@ def scene_rep_reconstruction(
                 return new_state, metrics
 
             return run
-        sstep = make_sampled_step(core, cfg_train.N_rand)
+        sstep = make_sampled_step(core, cfg_train.N_rand, mesh=mesh)
         return lambda state, k_step: sstep(state, store, k_step)
 
     step_fn = compile_step(mcfg, params)
@@ -498,7 +556,9 @@ def scene_rep_reconstruction(
                 mcfg = dataclasses.replace(mcfg, sample_budget=deferred_budget)
                 deferred_budget = 0
             # optimizer rebuilt from scratch at the boundary (run_train.py:199)
-            state = create_train_state(params, cfg_train, start_step=global_step - 1)
+            state = place(
+                create_train_state(params, cfg_train, start_step=global_step - 1)
+            )
             step_fn = compile_step(mcfg, params)
 
         # fold_in (not sequential splits): step s gets the same key whether or
@@ -516,7 +576,7 @@ def scene_rep_reconstruction(
                 f"{stage} iter {global_step:6d} / loss {float(m['loss']):.6f} / "
                 f"psnr {last_psnr:5.2f} / {eps:6.1f}s"
             )
-            if exp_dir is not None:
+            if exp_dir is not None and jax.process_index() == 0:
                 import json as _json
                 import os as _os
 
@@ -527,8 +587,9 @@ def scene_rep_reconstruction(
                         "psnr": last_psnr,
                         "elapsed_s": round(eps, 2),
                     }) + "\n")
-        # periodic checkpoint (the reference's --i_weights cadence)
-        if (save_every and exp_dir is not None
+        # periodic checkpoint (the reference's --i_weights cadence);
+        # multi-host: only process 0 writes (params are fully replicated)
+        if (save_every and exp_dir is not None and jax.process_index() == 0
                 and global_step % save_every == 0 and global_step < n_iters):
             import os as _os
 
@@ -542,7 +603,7 @@ def scene_rep_reconstruction(
         if callback is not None:
             callback(global_step, metrics)
 
-    if exp_dir is not None:
+    if exp_dir is not None and jax.process_index() == 0:
         import os
 
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
@@ -562,13 +623,19 @@ def run_train_blocks(
     seed: int = 777,
     log_fn=print,
     merge: bool = True,
+    no_reload: bool = False,
+    save_every: int = 0,
 ):
     """Scene/block-parallel training (run_FourierGrid.py:101-103 +
     run_render.py:146-207 semantics): partition the (position-sorted)
     training views into `block_num` contiguous blocks, train each
     independently (embarrassingly parallel — blocks can map to hosts), save
     per-block checkpoints fine_last_{i}, then device-side min-merge them
-    (FourierGrid_ckpt_manager.merge_blocks)."""
+    (FourierGrid_ckpt_manager.merge_blocks).
+
+    Each block trains in its own exp subdir with the reference's implicit
+    resume semantics applied per block (run_train.py:112-136): a crash at
+    block 7 of 8 reruns into block 7's partial state, not block 0."""
     import os
 
     from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
@@ -580,13 +647,19 @@ def run_train_blocks(
         ids = i_train[b * per_block : (b + 1) * per_block]
         if ids.size == 0:
             continue
+        path = os.path.join(exp_dir, f"fine_last_{b}")
+        if not no_reload and os.path.exists(os.path.join(path, "meta.json")):
+            log_fn(f"block {b}: already complete ({path}), skipping")
+            paths.append(path)
+            continue
         sub = dict(data_dict)
         sub["i_train"] = ids
         log_fn(f"block {b}: training on {len(ids)} views")
         family, mcfg, params, psnr = run_train(
-            cfg, sub, seed=seed + b, log_fn=log_fn
+            cfg, sub, seed=seed + b, log_fn=log_fn,
+            exp_dir=os.path.join(exp_dir, f"block_{b}"),
+            no_reload=no_reload, save_every=save_every,
         )
-        path = os.path.join(exp_dir, f"fine_last_{b}")
         ckpt.save_model(path, family, mcfg, params)
         paths.append(path)
         log_fn(f"block {b}: psnr {psnr:.2f} -> {path}")
@@ -599,7 +672,8 @@ def run_train_blocks(
 
 def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
               exp_dir: str | None = None, no_reload: bool = False,
-              no_reload_optimizer: bool = False, save_every: int = 0):
+              no_reload_optimizer: bool = False, save_every: int = 0,
+              use_mesh: bool | None = None):
     """Full two-stage recipe (run_train.py:336-398). Returns the fine model."""
     xyz_min_c, xyz_max_c = bbox_mod.compute_bbox_by_cam_frustrm(
         cfg, data_dict, model_family_name(cfg)
@@ -611,6 +685,7 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
             xyz_min_c, xyz_max_c, data_dict, stage="coarse",
             seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
             no_reload_optimizer=no_reload_optimizer, save_every=save_every,
+            use_mesh=use_mesh,
         )
 
     if coarse_out is None or cfg.data.dataset_type == "waymo":
@@ -644,6 +719,6 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
         xyz_min_f, xyz_max_f, data_dict, stage="fine",
         seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
         no_reload_optimizer=no_reload_optimizer, save_every=save_every,
-        coarse_mask_fn=coarse_mask,
+        coarse_mask_fn=coarse_mask, use_mesh=use_mesh,
     )
     return family, mcfg, params, psnr

@@ -95,6 +95,13 @@ def make_train_step(
             params, batch["rays_o"], batch["rays_d"], batch["viewdirs"], key,
             batch.get("img_index"),
         )
+        # two-stage cache renders compact raw_rgb to [N, color_budget, 3],
+        # which silently mis-pairs with the full [N, S] weights in rgbper —
+        # cache render paths are render-only, never trained through
+        assert not getattr(res, "rgb_compacted", False), (
+            "training through a two-stage RenderCache forward: raw_rgb is "
+            "compacted and must not feed training losses"
+        )
         target = batch["rgb"]
         n_rays = target.shape[0]
 
@@ -186,12 +193,26 @@ def make_train_step(
     return train_step
 
 
-def make_sampled_step(train_step, n_rand: int, donate: bool = True):
+def _constrain_batch(batch: dict, mesh) -> dict:
+    """DP sharding constraint on a device-sampled batch: the gathered rays
+    are resharded onto the `data` axis so the forward/backward run sharded
+    across chips (params replicated -> XLA inserts the gradient psum over
+    ICI and overlaps it with backward). No-op without a mesh."""
+    if mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.lax.with_sharding_constraint(v, sh) for k, v in batch.items()}
+
+
+def make_sampled_step(train_step, n_rand: int, donate: bool = True, mesh=None):
     """Fuse device-side batch sampling with the step: one XLA program per
     iteration. Gathers a random ray batch from the (device-resident) ray
     store — the 'random' sampler semantics of run_train.py:204-240 — then
     runs the step. The store is passed as an argument so it is never baked
-    into the executable."""
+    into the executable. With ``mesh``, the batch is sharded over the `data`
+    axis (ray/batch DP — the NCCL-DDP replacement, SURVEY.md §2.3)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def sampled_step(state: TrainState, store: dict, key: jax.Array):
@@ -199,7 +220,7 @@ def make_sampled_step(train_step, n_rand: int, donate: bool = True):
         n_total = store["rgb"].shape[0]
         idx = jax.random.randint(k_idx, (n_rand,), 0, n_total)
         batch = {k: v[idx] for k, v in store.items() if v is not None}
-        return train_step(state, batch, k_step)
+        return train_step(state, _constrain_batch(batch, mesh), k_step)
 
     return sampled_step
 
@@ -222,7 +243,8 @@ def init_sampler_state(n_total: int, key: jax.Array) -> SamplerState:
     )
 
 
-def make_flatten_sampled_step(train_step, n_rand: int, donate: bool = True):
+def make_flatten_sampled_step(train_step, n_rand: int, donate: bool = True,
+                              mesh=None):
     """'flatten' sampler fused with the step. Signature:
     (state, samp, store, key) -> (state, samp, metrics)."""
 
@@ -245,7 +267,7 @@ def make_flatten_sampled_step(train_step, n_rand: int, donate: bool = True):
         idx = jax.lax.dynamic_slice(samp.perm, (samp.cursor,), (n_rand,))
         samp = samp.replace(cursor=samp.cursor + n_rand)
         batch = {k: v[idx] for k, v in store.items() if v is not None}
-        new_state, metrics = train_step(state, batch, k_step)
+        new_state, metrics = train_step(state, _constrain_batch(batch, mesh), k_step)
         return new_state, samp, metrics
 
     return sampled_step

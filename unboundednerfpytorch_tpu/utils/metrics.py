@@ -31,7 +31,11 @@ def rgb_ssim(
     k2: float = 0.03,
     return_map: bool = False,
 ):
-    """SSIM, the mip-NeRF port used by the reference (utils.py:79-125)."""
+    """SSIM, the mip-NeRF port used by the reference (utils.py:79-125).
+
+    Origin: google-research mipnerf ``internal/math.py`` (Apache-2.0) — the
+    same public implementation the reference vendors; constants and the
+    separable-Gaussian structure are the canonical SSIM formulation."""
     img0 = np.asarray(img0)
     img1 = np.asarray(img1)
     assert img0.ndim == 3 and img0.shape[-1] == 3 and img0.shape == img1.shape
