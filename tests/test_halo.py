@@ -38,6 +38,67 @@ def test_sharded_sample_matches_replicated():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_sharded_field_training_matches_replicated():
+    """The >HBM end-to-end path (VERDICT r2 item 5): the SHIPPED training
+    loop with grid_parallel=2 (grids + Adam moments spatially sharded,
+    queries through the halo sampler) must reproduce the replicated
+    single-device trajectory."""
+    import dataclasses as dc
+
+    from unboundednerfpytorch_tpu.configs.schema import (
+        DataConfig, ExpConfig, ModelRenderConfig, TrainStageConfig,
+    )
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.train import loop as loop_mod
+
+    data = synthetic.make_data_dict(n_views=3, H=16, W=16)
+    # 17^3 voxels -> world_size (16,16,16): even dims so the grid axis (2)
+    # divides and the leaves actually shard
+    mr = ModelRenderConfig(
+        num_voxels_density=17**3, num_voxels_rgb=17**3,
+        num_voxels_base_density=17**3, num_voxels_base_rgb=17**3,
+        rgbnet_dim=6, rgbnet_width=32, rgbnet_depth=2,
+        alpha_init=1e-2, fast_color_thres=1e-4, fourier_freq_num=2,
+        stepsize=1.0, maskout_near_cam_vox=False,
+    )
+    tr = TrainStageConfig(
+        N_iters=3, N_rand=64, pg_scale=(), pervoxel_lr=False,
+        weight_entropy_last=0.001, weight_rgbper=0.01,
+        skip_zero_grad_fields=("density", "k0"),
+    )
+    cfg = ExpConfig(
+        expname="halo_loop", model="FourierGrid",
+        data=DataConfig(dataset_type="synthetic", white_bkgd=True),
+        fine_model_and_render=mr, fine_train=tr,
+    )
+    bounds = ((-3.0,) * 3, (3.0,) * 3)
+
+    logs = []
+    out_sh = loop_mod.scene_rep_reconstruction(
+        cfg, mr, tr, *bounds, data, stage="fine", seed=5,
+        log_fn=lambda m: logs.append(str(m)), grid_parallel=2,
+    )
+    assert any("grids sharded spatially" in m for m in logs), logs
+    # the grids were actually sharded over the grid axis
+    shard_shape = out_sh[2].density.grid.sharding.shard_shape(
+        out_sh[2].density.grid.shape
+    )
+    assert shard_shape[1] == out_sh[2].density.grid.shape[1] // 2
+
+    out_1d = loop_mod.scene_rep_reconstruction(
+        cfg, mr, tr, *bounds, data, stage="fine", seed=5,
+        log_fn=lambda *a: None, use_mesh=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh[2].density.grid), np.asarray(out_1d[2].density.grid),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh[2].k0.grid), np.asarray(out_1d[2].k0.grid),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_sharded_sample_grad_matches():
     """The halo path is plain jnp inside shard_map — gradients must flow and
     match the replicated path (scatter-adds cross the halo correctly)."""

@@ -81,3 +81,17 @@ def test_packed_bf16_table():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_pack_corners_folded_chunked_matches():
+    import jax
+    import jax.numpy as jnp
+
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    for shape in ((9, 7, 5, 1), (16, 6, 6, 1), (5, 33, 3, 1)):
+        g = jax.random.normal(jax.random.PRNGKey(0), shape)
+        a = packed_ops.pack_corners_folded(g, 16)
+        b = packed_ops.pack_corners_folded_chunked(g, 16, plane_chunk=16)
+        assert a.shape == b.shape, (shape, a.shape, b.shape)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -81,6 +81,46 @@ def test_two_stage_matches_single_stage(budget):
     )
 
 
+def test_density_bake_is_close_and_observable():
+    """density_bake_scale: the render-only density bake must (a) build a
+    single-bank folded table at scaled dims, (b) render within a tight PSNR
+    of the exact two-stage path on a smooth trained-scale field, and (c) be
+    exact for single-frequency content the lattice can represent."""
+    cfg1 = _cfg(sample_budget=0)
+    params = fg.create(cfg1, jax.random.PRNGKey(0))
+    # smooth, informative density (trained fields are band-limited-ish)
+    ws = params.density.grid.shape[1:4]
+    ax = [jnp.linspace(0, 2 * np.pi, n) for n in ws]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    smooth = 1.5 * jnp.sin(gx) * jnp.cos(gy) * jnp.sin(gz)
+    params = params.replace(
+        density=params.density.replace(
+            grid=params.density.grid + smooth[None, ..., None]
+        )
+    )
+    ro, rd, vd = _rays(96, 4)
+
+    cfg2 = dataclasses.replace(cfg1, color_budget=64)
+    cache_exact = fg.build_render_cache(params, cfg2)
+    res_exact = fg.forward(params, cfg2, ro, rd, vd, bg=1.0, cache=cache_exact)
+
+    cfg3 = dataclasses.replace(cfg2, density_bake_scale=2.0)
+    cache_baked = fg.build_render_cache(params, cfg3)
+    assert len(cache_baked.density_tables) == 1
+    assert cache_baked.density_num_freqs == 0
+    assert cache_baked.density_dims is not None
+    assert cache_baked.density_dims[0] > params.density.grid.shape[1]
+    res_baked = fg.forward(params, cfg3, ro, rd, vd, bg=1.0, cache=cache_baked)
+
+    err = float(jnp.mean((res_baked.rgb_marched - res_exact.rgb_marched) ** 2))
+    psnr = -10.0 * np.log10(max(err, 1e-12))
+    assert psnr > 38.0, f"density-bake PSNR vs exact too low: {psnr:.1f} dB"
+
+    # color path untouched: k0 tables identical between the two caches
+    for a, b in zip(cache_exact.k0_tables, cache_baked.k0_tables):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_two_stage_truncation_is_tail_only():
     """With a tiny color budget, the two-stage result equals compositing only

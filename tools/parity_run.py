@@ -1,0 +1,351 @@
+"""PSNR parity harness — the evidence generator for BASELINE.md.
+
+Two modes:
+
+**Trajectory parity (default, no data needed).** Trains BOTH an independent
+PyTorch reference implementation of the DVGO recipe (torch F.grid_sample
+grids + vectorized transmittance scan + the reference's masked-Adam update
+math, ``/root/reference/FourierGrid/masked_adam.py:21-75`` /
+``cuda/adam_upd_kernel.cu:25-40``) AND this framework's production train step
+on IDENTICAL synthetic data with IDENTICAL ray batches, then compares
+held-out PSNR. This extends the forward/grad allclose gates
+(tests/test_torch_parity.py) to a full *training-trajectory* gate: optimizer
+math, lr decay, loss, and the end-to-end fit must agree, not just one
+forward/backward.
+
+  python tools/parity_run.py --steps 200           # asserts |ΔPSNR| <= 0.1 dB
+
+**Real-data runs (--real).** Runs the reference benchmark configs end-to-end
+when datasets are present (tools/fetch_data.py) and prints the PSNR table to
+compare against the reference README (`/root/reference/README.md:17-27`:
+Mip-NeRF-360 avg 28.98 / garden; unbounded T&T avg 20.85 / truck):
+
+  python tools/parity_run.py --real --data_root data \\
+      --scenes lego garden truck
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# torch reference implementation (independent math, reference semantics)
+# ---------------------------------------------------------------------------
+
+
+def _torch_forward(density_grid, k0_grid, mlp, pts01, mask, viewdirs,
+                   act_shift, interval, viewbase_pe, bg):
+    """DVGO forward in torch: grid_sample trilerp + vectorized transmittance
+    scan with the CUDA early exit + viewdir-PE MLP head. Differentiable."""
+    import torch
+    import torch.nn.functional as F
+
+    N, S, _ = pts01.shape
+
+    def sample(grid_xyzc, coords01):
+        g = grid_xyzc.permute(3, 0, 1, 2)[None]  # [1,C,X,Y,Z]
+        ind = coords01.reshape(1, 1, 1, -1, 3).flip(-1) * 2 - 1
+        out = F.grid_sample(g, ind, mode="bilinear", align_corners=True)
+        return out.reshape(g.shape[1], -1).T.reshape(N, S, g.shape[1])
+
+    density = sample(density_grid, pts01)[..., 0]
+    e = torch.exp(density + act_shift)
+    alpha = 1.0 - torch.pow(1.0 + e, -interval)
+    alpha = torch.where(mask, alpha, torch.zeros_like(alpha))
+
+    # vectorized scan: w_i = T_excl_i * alpha_i; the CUDA kernel emits the
+    # crossing sample's weight and THEN breaks (render_utils_kernel.cu:592-601)
+    one_minus = 1.0 - alpha
+    t_incl = torch.cumprod(one_minus, dim=-1)
+    t_excl = torch.cat([torch.ones_like(t_incl[..., :1]), t_incl[..., :-1]], -1)
+    processed = t_excl >= 1e-3
+    weights = t_excl * alpha * processed.to(alpha.dtype)
+    any_stop = (~processed).any(-1)
+    first_stop = (~processed).to(torch.int64).argmax(-1)
+    t_at_stop = torch.gather(t_excl, -1, first_stop[..., None])[..., 0]
+    alphainv = torch.where(any_stop, t_at_stop, t_incl[..., -1])
+
+    k0 = sample(k0_grid, pts01)
+    freqs = 2 ** torch.arange(viewbase_pe, dtype=torch.float32)
+    emb = (viewdirs[..., None] * freqs).reshape(N, -1)
+    vemb = torch.cat([viewdirs, emb.sin(), emb.cos()], -1)
+    feat = torch.cat([k0, vemb[:, None, :].expand(N, S, vemb.shape[-1])], -1)
+    h = feat
+    n_layers = len(mlp) // 2
+    for i in range(n_layers):
+        h = h @ mlp[2 * i] + mlp[2 * i + 1]
+        if i < n_layers - 1:
+            h = torch.relu(h)
+    rgb = torch.sigmoid(h)
+    rgb_marched = torch.einsum("ns,nsc->nc", weights, rgb) + alphainv[:, None] * bg
+    return rgb_marched
+
+
+class _TorchMaskedAdam:
+    """The reference's MaskedAdam in torch: skip-zero-grad moments, bias
+    correction folded into the step size (adam_upd_kernel.cu:25-40,72-121)."""
+
+    def __init__(self, groups, beta1=0.9, beta2=0.99, eps=1e-8):
+        import torch
+
+        self.groups = groups  # [(param, lr, skip_zero_grad)]
+        self.b1, self.b2, self.eps = beta1, beta2, eps
+        self.m = [torch.zeros_like(p) for p, _, _ in groups]
+        self.v = [torch.zeros_like(p) for p, _, _ in groups]
+        self.t = 0
+
+    @classmethod
+    def torch(cls):
+        import torch
+
+        return torch
+
+    def step(self, lr_scale: float):
+        import torch
+
+        self.t += 1
+        bias = (1.0 - self.b2**self.t) ** 0.5 / (1.0 - self.b1**self.t)
+        with torch.no_grad():
+            for i, (p, lr, skip) in enumerate(self.groups):
+                g = p.grad
+                if g is None:
+                    continue
+                step_size = lr * lr_scale * bias
+                if skip:
+                    mask = g != 0
+                    self.m[i] = torch.where(
+                        mask, self.b1 * self.m[i] + (1 - self.b1) * g, self.m[i]
+                    )
+                    self.v[i] = torch.where(
+                        mask, self.b2 * self.v[i] + (1 - self.b2) * g * g,
+                        self.v[i],
+                    )
+                    p -= torch.where(
+                        mask,
+                        step_size * self.m[i] / (self.v[i].sqrt() + self.eps),
+                        torch.zeros_like(p),
+                    )
+                else:
+                    self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * g
+                    self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * g * g
+                    p -= step_size * self.m[i] / (self.v[i].sqrt() + self.eps)
+                p.grad = None
+
+
+# ---------------------------------------------------------------------------
+# trajectory parity
+# ---------------------------------------------------------------------------
+
+
+def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
+                          tol_db: float = 0.1, log=print) -> dict:
+    """Train torch-reference and framework on identical data/batches; return
+    {"psnr_torch", "psnr_jax", "delta_db"}. Raises AssertionError on miss."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from unboundednerfpytorch_tpu.configs.schema import TrainStageConfig
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.models import dvgo
+    from unboundednerfpytorch_tpu.ops import rays as ray_ops
+    from unboundednerfpytorch_tpu.ops import sampling as S_ops
+    from unboundednerfpytorch_tpu.optim.factory import lr_decay_scale
+    from unboundednerfpytorch_tpu.train.step import create_train_state, make_train_step
+
+    torch.manual_seed(0)
+
+    # --- shared data: synthetic sphere scene, flattened ray store ----------
+    data = synthetic.make_data_dict(n_views=8, H=48, W=48)
+    ro_l, rd_l, vd_l, rgb_l = [], [], [], []
+    for i in data["i_train"]:
+        H, W = (int(v) for v in data["HW"][i])
+        ro, rd, vd = ray_ops.get_rays_of_a_view(
+            H, W, jnp.asarray(data["Ks"][i]),
+            jnp.asarray(data["poses"][i][:3, :4]),
+        )
+        ro_l.append(np.asarray(ro).reshape(-1, 3))
+        rd_l.append(np.asarray(rd).reshape(-1, 3))
+        vd_l.append(np.asarray(vd).reshape(-1, 3))
+        rgb_l.append(np.asarray(data["images"][i]).reshape(-1, 3))
+    RO, RD = np.concatenate(ro_l), np.concatenate(rd_l)
+    VD, GT = np.concatenate(vd_l), np.concatenate(rgb_l)
+
+    cfg = dvgo.DVGOConfig(
+        xyz_min=(-1.6, -1.6, -1.6), xyz_max=(1.6, 1.6, 1.6),
+        num_voxels=32**3, num_voxels_base=32**3,
+        rgbnet_dim=6, rgbnet_direct=True, rgbnet_depth=3, rgbnet_width=32,
+        alpha_init=1e-2, fast_color_thres=0.0,
+    )
+    tcfg = TrainStageConfig(
+        N_iters=steps, N_rand=n_rand, lrate_decay=20, pervoxel_lr=False,
+        weight_main=1.0, weight_entropy_last=0.0, weight_rgbper=0.0,
+        weight_tv_density=0.0, weight_tv_k0=0.0,
+        skip_zero_grad_fields=("density", "k0"),
+    )
+    near, stepsize, bg = float(data["near"]), 0.5, 1.0
+    params = dvgo.create(cfg, jax.random.PRNGKey(0))
+    interval = stepsize * cfg.voxel_size_ratio
+    n_samples = dvgo.n_samples(cfg, stepsize)
+
+    # identical init on both sides (export the jax init to torch)
+    t_d = torch.tensor(np.asarray(params.density.grid)).requires_grad_()
+    t_k = torch.tensor(np.asarray(params.k0.grid)).requires_grad_()
+    t_mlp = []
+    for w, b in zip(params.rgbnet.weights, params.rgbnet.biases):
+        t_mlp += [
+            torch.tensor(np.asarray(w)).requires_grad_(),
+            torch.tensor(np.asarray(b)).requires_grad_(),
+        ]
+    opt = _TorchMaskedAdam(
+        [(t_d, tcfg.lrate_density, True), (t_k, tcfg.lrate_k0, True)]
+        + [(p, tcfg.lrate_rgbnet, False) for p in t_mlp]
+    )
+
+    # --- framework side: the production train step --------------------------
+    def fwd(p, ro, rd, vd, key, img_index=None):
+        return dvgo.forward(p, cfg, ro, rd, vd, near=near, stepsize=stepsize,
+                            bg=bg)
+
+    step_fn = jax.jit(make_train_step(
+        fwd, tcfg, world_size_max=float(max(cfg.world_size)), donate=False,
+    ))
+    state = create_train_state(params, tcfg)
+
+    # shared sample geometry (gated elsewhere: tests/test_torch_parity.py
+    # proves jax-vs-torch pts/grid_sample agreement; sharing it here isolates
+    # the *trajectory* comparison to grids/scan/losses/optimizer)
+    xyz_min = np.asarray(cfg.xyz_min, np.float32)
+    xyz_max = np.asarray(cfg.xyz_max, np.float32)
+
+    @jax.jit
+    def geom(ro, rd):
+        s = S_ops.sample_pts_on_rays(
+            ro, rd, jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max),
+            near, stepsize * cfg.voxel_size, n_samples,
+        )
+        return s.pts, s.mask
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    for step in range(1, steps + 1):
+        idx = rng.integers(0, RO.shape[0], size=n_rand)
+        batch = {
+            "rgb": jnp.asarray(GT[idx]),
+            "rays_o": jnp.asarray(RO[idx]),
+            "rays_d": jnp.asarray(RD[idx]),
+            "viewdirs": jnp.asarray(VD[idx]),
+        }
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
+
+        # torch side, same batch
+        pts, mask = geom(batch["rays_o"], batch["rays_d"])
+        pts01 = (np.asarray(pts) - xyz_min) / (xyz_max - xyz_min)
+        rgb_t = _torch_forward(
+            t_d, t_k, t_mlp, torch.tensor(pts01),
+            torch.tensor(np.asarray(mask)), torch.tensor(VD[idx]),
+            float(cfg.act_shift), float(interval), cfg.viewbase_pe, bg,
+        )
+        loss_t = ((rgb_t - torch.tensor(GT[idx])) ** 2).mean()
+        loss_t.backward()
+        opt.step(float(lr_decay_scale(step, tcfg.lrate_decay)))
+        if step % 50 == 0 or step == steps:
+            log(
+                f"step {step:4d}: jax psnr "
+                f"{float(metrics['psnr']):5.2f} / torch mse->psnr "
+                f"{-10 * np.log10(float(loss_t.detach())):5.2f} "
+                f"({time.time() - t0:5.1f}s)"
+            )
+
+    # --- held-out evaluation on a fixed ray set ------------------------------
+    eval_idx = np.random.default_rng(7).integers(0, RO.shape[0], size=4096)
+    res = fwd(state.params, jnp.asarray(RO[eval_idx]), jnp.asarray(RD[eval_idx]),
+              jnp.asarray(VD[eval_idx]), None)
+    mse_j = float(jnp.mean((res.rgb_marched - jnp.asarray(GT[eval_idx])) ** 2))
+    pts, mask = geom(jnp.asarray(RO[eval_idx]), jnp.asarray(RD[eval_idx]))
+    pts01 = (np.asarray(pts) - xyz_min) / (xyz_max - xyz_min)
+    with torch.no_grad():
+        rgb_t = _torch_forward(
+            t_d, t_k, t_mlp, torch.tensor(pts01),
+            torch.tensor(np.asarray(mask)), torch.tensor(VD[eval_idx]),
+            float(cfg.act_shift), float(interval), cfg.viewbase_pe, bg,
+        )
+        mse_t = float(((rgb_t - torch.tensor(GT[eval_idx])) ** 2).mean())
+    psnr_j = -10 * np.log10(mse_j)
+    psnr_t = -10 * np.log10(mse_t)
+    delta = abs(psnr_j - psnr_t)
+    out = {
+        "psnr_torch": round(psnr_t, 3),
+        "psnr_jax": round(psnr_j, 3),
+        "delta_db": round(delta, 4),
+        "steps": steps,
+    }
+    log(json.dumps(out))
+    assert delta <= tol_db, (
+        f"trajectory parity FAILED: |{psnr_j:.3f} - {psnr_t:.3f}| = "
+        f"{delta:.3f} dB > {tol_db} dB"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# real-data runs
+# ---------------------------------------------------------------------------
+
+_SCENES = {
+    # scene -> (config path, dataset probe, expected PSNR, reference source)
+    "lego": ("configs/nerf/lego.py", "nerf_synthetic/lego",
+             None, "DVGO-class bounded sanity scene"),
+    "garden": ("configs/nerf_unbounded/garden_single.py", "360_v2/garden",
+               28.98, "README.md:27 (Mip-NeRF-360 avg)"),
+    "truck": ("configs/tankstemple_unbounded/truck_single.py",
+              "tanks_and_temples/tat_training_Truck",
+              20.85, "README.md:22 (unbounded T&T avg)"),
+}
+
+
+def run_real(data_root: str, scenes, log=print) -> int:
+    import os
+
+    failures = 0
+    for scene in scenes:
+        config, probe, expect, src = _SCENES[scene]
+        if not os.path.exists(os.path.join(data_root, probe)):
+            log(f"{scene}: dataset missing ({data_root}/{probe}) — run "
+                f"tools/fetch_data.py first; skipping")
+            failures += 1
+            continue
+        from unboundednerfpytorch_tpu.cli.main import main as cli_main
+
+        log(f"{scene}: training {config} (expected ~{expect} dB, {src})")
+        rc = cli_main(["--config", config, "--program", "train",
+                       "--render_test"])
+        failures += rc != 0
+    return failures
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="PSNR parity harness")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--n_rand", type=int, default=1024)
+    ap.add_argument("--tol_db", type=float, default=0.1)
+    ap.add_argument("--real", action="store_true")
+    ap.add_argument("--data_root", default="data")
+    ap.add_argument("--scenes", nargs="*", default=["lego", "garden", "truck"],
+                    choices=sorted(_SCENES))
+    args = ap.parse_args(argv)
+    if args.real:
+        return run_real(args.data_root, args.scenes)
+    run_trajectory_parity(args.steps, args.n_rand, args.tol_db)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "rows; fourier_grid.bake_for_rendering)")
     p.add_argument("--bake_scale", type=float, default=1.26,
                    help="linear resolution multiplier for --bake_render")
+    p.add_argument("--grid_parallel", type=int, default=1,
+                   help="shard voxel grids (+ Adam moments) spatially over a "
+                        "`grid` mesh axis of this size — for >HBM grids "
+                        "(halo-exchange sampling); rays stay data-parallel "
+                        "over the remaining devices")
+    p.add_argument("--constant_baked", action="store_true",
+                   help="compile the packed render tables into the render "
+                        "executable as constants: 1.5-2.2x faster gathers "
+                        "(exact), at a long per-scene first compile that the "
+                        "persistent compilation cache amortizes — intended "
+                        "for --render_video sessions")
     return p
 
 
@@ -78,6 +89,13 @@ def main(argv=None) -> int:
 
     from unboundednerfpytorch_tpu.configs.loader import load_config
     from unboundednerfpytorch_tpu.data.common import load_everything
+    from unboundednerfpytorch_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    # executables persist across processes (the constant-baked render mode's
+    # 250-600s per-scene compile is paid once, not per run)
+    enable_persistent_compilation_cache()
 
     cfg = load_config(args.config)
     np.random.seed(args.seed)
@@ -125,6 +143,7 @@ def main(argv=None) -> int:
             no_reload=args.no_reload,
             no_reload_optimizer=args.no_reload_optimizer,
             save_every=args.i_weights,
+            grid_parallel=args.grid_parallel,
         )
         ckpt.save_model(os.path.join(exp_dir, "fine_last"), family, mcfg, params)
         print(f"train finished: psnr {psnr:.2f}")

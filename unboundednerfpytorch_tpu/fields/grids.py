@@ -139,8 +139,23 @@ class FourierGrid:
     def num_banks(self) -> int:
         return self.grid.shape[0]
 
-    def __call__(self, xyz: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, xyz: jnp.ndarray, mesh=None, axis: str = "grid") -> jnp.ndarray:
+        """Query the field. ``mesh``: when the grid leaf is sharded on its
+        leading spatial axis over ``mesh[axis]`` (the >HBM case,
+        parallel/mesh.shard_params(shard_grids=True)), queries route through
+        the halo-exchange sampler (parallel/halo.py: one ppermute + local
+        gathers + psum) instead of a plain gather that XLA would lower to
+        table-sized collective reads."""
         coords = _norm01(xyz, self.xyz_min, self.xyz_max) * 2.0 - 1.0  # [-1,1]
+        # same divisibility rule as parallel.mesh.shard_params: a grid whose
+        # X doesn't divide the axis stays replicated and queries locally
+        if (mesh is not None
+                and self.grid.shape[1] % mesh.shape[axis] == 0):
+            from unboundednerfpytorch_tpu.parallel import halo
+
+            sample = lambda g, c: halo.sharded_grid_sample(mesh, g, c, axis=axis)
+        else:
+            sample = interp.grid_sample_3d
         if self.num_freqs > 0:
             # per-bank loop keeps transients at [M, C] (TPU lane padding makes
             # a fused [M, B, C] gather blow memory 128/C-fold)
@@ -149,10 +164,10 @@ class FourierGrid:
             c01 = (bank_coords + 1.0) * 0.5
             vals = None
             for b in range(B):
-                v = interp.grid_sample_3d(self.grid[b], c01[..., b, :])
+                v = sample(self.grid[b], c01[..., b, :])
                 vals = v if vals is None else vals + v
             return vals / B
-        return interp.grid_sample_3d(self.grid[0], (coords + 1.0) * 0.5)
+        return sample(self.grid[0], (coords + 1.0) * 0.5)
 
     def scale_volume_grid(self, new_world_size) -> "FourierGrid":
         size = tuple(int(s) for s in new_world_size)

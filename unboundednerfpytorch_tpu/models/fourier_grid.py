@@ -62,10 +62,12 @@ class FourierGridConfig:
     # exceed the memory guard (large grids).
     packed_gather: bool = True
     # Occupancy probe stride for the budget pre-pass: test every k-th sample
-    # against the (3^3-dilated) mask cache and broadcast the result to the
-    # skipped neighbors. Conservative for stride<=2 at stepsize<=1 voxel
-    # (the dilation covers the skipped half-step); halves the pre-pass
-    # gather rows, which dominate once bank queries are packed.
+    # against the dilated mask cache and broadcast the result to the skipped
+    # neighbors. The occupancy refresh widens its max-pool dilation with the
+    # stride (3^3 for stride<=2, 5^3 for stride 3-4, ... — see
+    # :func:`_occupancy_dilation_window`) so a probe's verdict stays
+    # conservative for every sample in its stride group at stepsize<=1
+    # voxel. Divides the pre-pass gather rows by the stride.
     budget_probe_stride: int = 1
     # Two-stage render engine (cache path only): after the density pass and
     # the transmittance scan, compact each ray to its first `color_budget`
@@ -75,6 +77,14 @@ class FourierGridConfig:
     # into narrow density rows (8 ch, ~1.6x the gather issue rate of 104-ch
     # rows) and color rows touched only by surviving samples. 0 = off.
     color_budget: int = 0
+    # Render-only density bake (two-stage cache): resample the [2K+1]-bank
+    # density field onto ONE bank at `scale`x linear resolution, so the
+    # density pass costs 1 gathered row per sample instead of 2K+1 — the
+    # dominant row count of the two-stage renderer. Color stays exact
+    # (full-bank k0 tables). The density lattice resample is approximate but
+    # tiny at scale>=1.6 (PSNR-vs-exact gated in tests/test_two_stage.py and
+    # measured per-scene by bench.py); it never affects training. 0 = off.
+    density_bake_scale: float = 0.0
 
     @property
     def xyz_min(self) -> tuple:
@@ -184,6 +194,7 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         packed_gather=getattr(cfg_model, "packed_gather", True),
         budget_probe_stride=getattr(cfg_model, "budget_probe_stride", 1),
         color_budget=getattr(cfg_model, "color_budget", 0),
+        density_bake_scale=getattr(cfg_model, "density_bake_scale", 0.0),
     )
 
 
@@ -208,6 +219,10 @@ class RenderCache:
     density_tables: jnp.ndarray | None = None
     k0_tables: jnp.ndarray | None = None
     density_fold: int = struct.field(pytree_node=False, default=1)
+    # density-table addressing when it differs from params.density (the
+    # density_bake_scale path: ONE bank, plain coords, baked lattice dims)
+    density_dims: tuple | None = struct.field(pytree_node=False, default=None)
+    density_num_freqs: int | None = struct.field(pytree_node=False, default=None)
 
 
 # HBM fractions for the packed-engine guards (bytes of one bank's packed
@@ -242,6 +257,21 @@ def _pack_bytes_limit() -> int:
 
 def _cache_bytes_limit() -> int:
     return int(_hbm_bytes() * _CACHE_HBM_FRAC)
+
+
+def _baked_density_dims(cfg: "FourierGridConfig") -> tuple | None:
+    """Lattice dims of the render-only density bake, or None when disabled /
+    not applicable (single-bank models gain nothing) / over the HBM guard."""
+    if cfg.density_bake_scale <= 0 or cfg.fourier_freq_num <= 0:
+        return None
+    dims = cfg._world_size(
+        int(cfg.num_voxels_density * cfg.density_bake_scale**3)
+    )
+    # folded 1-channel f32 table: physical bytes = rows * 8 * 4 (f32 — bf16
+    # quantization of the baked values costs ~4 dB vs exact, measured)
+    if int(np.prod([d + 1 for d in dims])) * 8 * 4 > _pack_bytes_limit():
+        return None
+    return dims
 
 
 def _fused_banks(params: "FourierGridParams", cfg: "FourierGridConfig") -> bool:
@@ -308,15 +338,48 @@ def build_render_cache(
 
     if cfg.color_budget > 0:
         fold = max(1, 128 // 8)  # density is 1-channel: 16 bases per row
-        dt = _per_bank(
-            lambda g: packed_ops.pack_corners_folded(g, fold),
-            params.density.grid,
-            None if out_formats is None else out_formats.density_tables,
-        )
+        bake_dims = _baked_density_dims(cfg)
+        if bake_dims is not None:
+            # density-only bake: ONE folded table at scaled resolution (1
+            # row/sample instead of 2K+1 in the density pass; color exact).
+            # Built BEFORE the k0 tables so the bake's pack transients don't
+            # stack on top of the multi-GB color tables.
+            fmt = None if out_formats is None else out_formats.density_tables[0]
+            grid_dt = jnp.float32  # see _baked_density_dims: bf16 quantizes
+            if abstract:
+                t_rows = int(np.prod([d + 1 for d in bake_dims]))
+                table = jax.ShapeDtypeStruct(
+                    (-(-t_rows // fold), fold * 8), grid_dt
+                )
+            else:
+                baked = _eval_field_on_lattice(
+                    params.density, cfg.xyz_min, cfg.xyz_max, bake_dims, 1
+                ).astype(grid_dt)
+                # chunked fold-pack: the one-shot pack's lane-padded [T, 8]
+                # intermediate is a 16x physical blowup (16.9GB at 320^3 f32)
+                table = packed_ops.pack_corners_folded_chunked(baked, fold)
+                del baked
+                if fmt is not None:
+                    table = jax.jit(lambda x: x, out_shardings=fmt)(table)
+                table.block_until_ready()
+            kt = _per_bank(
+                packed_ops.pack_corners,
+                params.k0.grid,
+                None if out_formats is None else out_formats.k0_tables,
+            )
+            return RenderCache(
+                density_tables=(table,), k0_tables=kt, density_fold=fold,
+                density_dims=bake_dims, density_num_freqs=0,
+            )
         kt = _per_bank(
             packed_ops.pack_corners,
             params.k0.grid,
             None if out_formats is None else out_formats.k0_tables,
+        )
+        dt = _per_bank(
+            lambda g: packed_ops.pack_corners_folded(g, fold),
+            params.density.grid,
+            None if out_formats is None else out_formats.density_tables,
         )
         return RenderCache(density_tables=dt, k0_tables=kt, density_fold=fold)
 
@@ -423,9 +486,15 @@ def forward(
     img_index: jnp.ndarray | None = None,
     fast_color_thres: float | None = None,
     cache: RenderCache | None = None,
+    spatial_mesh=None,
 ) -> common.RenderResult:
     """Volume rendering (model:554-672). ``fast_color_thres`` overrides the
-    config value (the step-keyed schedule is applied by the train loop)."""
+    config value (the step-keyed schedule is applied by the train loop).
+
+    ``spatial_mesh``: mesh whose `grid` axis spatially shards the grid
+    leaves (the >HBM case) — field queries route through the halo-exchange
+    sampler; the packed/fused/cache fast paths (which need locally-resident
+    tables) are bypassed."""
     stepsize = cfg.stepsize if stepsize is None else stepsize
     thres = cfg.fast_color_thres if fast_color_thres is None else fast_color_thres
     N = rays_o.shape[0]
@@ -467,6 +536,7 @@ def forward(
         cache is not None
         and cache.density_tables is not None
         and cfg.color_budget > 0
+        and spatial_mesh is None
         and _fused_banks(params, cfg)
     ):
         return _forward_two_stage(
@@ -480,8 +550,8 @@ def forward(
     # the dominant cost on TPU (gathers are issue-rate-bound). With the
     # packed-corner engine (ops/packed.py) each sample further costs ONE
     # gathered row per bank instead of eight.
-    fused = _fused_banks(params, cfg)
-    use_packed = _use_packed(params, cfg)
+    fused = _fused_banks(params, cfg) and spatial_mesh is None
+    use_packed = _use_packed(params, cfg) and spatial_mesh is None
     if fused:
         from unboundednerfpytorch_tpu.fields.grids import nerf_pos_embed_coords
         from unboundednerfpytorch_tpu.ops import interp as interp_ops
@@ -536,7 +606,7 @@ def forward(
         density = vals[..., 0]
         k0 = vals[..., 1:]
     else:
-        density = params.density(pts)[..., 0]
+        density = params.density(pts, mesh=spatial_mesh)[..., 0]
 
     alpha = activate_density(params, cfg, density, interval)
     if thres > 0:
@@ -548,7 +618,7 @@ def forward(
         weights = weights * mask.astype(weights.dtype)
 
     if not fused:
-        k0 = params.k0(pts)
+        k0 = params.k0(pts, mesh=spatial_mesh)
     rgb = _rgb_head(params, cfg, k0, viewdirs, img_index, N, S)
 
     if rand_bkgd_key is not None:
@@ -593,15 +663,37 @@ def _rgb_head(params, cfg, k0, viewdirs, img_index, N, S):
     return jax.nn.sigmoid(params.rgbnet(jnp.concatenate(feats, -1)))
 
 
-def _bank_coords01(cfg, pts):
+def _bank_coords01(cfg, pts, num_freqs: int | None = None):
     """Normalized per-bank query coords in [0, 1]: [..., B, 3]."""
     from unboundednerfpytorch_tpu.fields.grids import nerf_pos_embed_coords
 
     mn = jnp.asarray(cfg.xyz_min)
     mx = jnp.asarray(cfg.xyz_max)
     coords = ((pts - mn) / (mx - mn)) * 2.0 - 1.0
-    bank_coords = nerf_pos_embed_coords(coords, cfg.fourier_freq_num)
+    bank_coords = nerf_pos_embed_coords(
+        coords, cfg.fourier_freq_num if num_freqs is None else num_freqs
+    )
     return (bank_coords + 1.0) * 0.5
+
+
+def _cache_density(cfg, cache: "RenderCache", pts, fallback_dims):
+    """Raw density from the two-stage cache's folded tables — honors the
+    density-bake addressing (single bank, plain coords, baked dims) when the
+    cache was built with ``density_bake_scale``."""
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    B = len(cache.density_tables)
+    dims = cache.density_dims or tuple(fallback_dims)
+    freqs = cache.density_num_freqs
+    c01b = jnp.moveaxis(_bank_coords01(cfg, pts, num_freqs=freqs), -2, 0)
+    density = None
+    for b in range(B):
+        base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
+        v = packed_ops.packed_trilerp_folded(
+            cache.density_tables[b], base, w, 1, cache.density_fold
+        )
+        density = v if density is None else density + v
+    return density[..., 0] / B
 
 
 def _forward_two_stage(
@@ -621,15 +713,7 @@ def _forward_two_stage(
     dims = params.density.grid.shape[1:4]
 
     # --- stage 1: density from narrow packed rows ---------------------------
-    c01b = jnp.moveaxis(_bank_coords01(cfg, pts), -2, 0)  # [B, N, S, 3]
-    density = None
-    for b in range(B):
-        base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
-        v = packed_ops.packed_trilerp_folded(
-            cache.density_tables[b], base, w, 1, cache.density_fold
-        )
-        density = v if density is None else density + v
-    density = density[..., 0] / B
+    density = _cache_density(cfg, cache, pts, dims)
     alpha = activate_density(params, cfg, density, interval)
     if thres > 0:
         mask = mask & (alpha > thres)
@@ -717,6 +801,17 @@ def _dense_alpha_chunked(
     return alpha.reshape(n_slabs * slab, Y, Z)[:X]
 
 
+def _occupancy_dilation_window(cfg: FourierGridConfig) -> int:
+    """Max-pool window for the occupancy refresh: the reference's 3^3
+    (dvgo.py:238-245), widened so a strided budget probe stays conservative —
+    samples up to ceil(stride/2) steps from their probe need the mask dilated
+    by that many voxels (at stepsize <= 1 voxel per step)."""
+    stride = max(1, cfg.budget_probe_stride)
+    if stride <= 2:
+        return 3
+    return 2 * ((stride + 1) // 2) + 1
+
+
 def scale_volume_grid(
     params: FourierGridParams,
     cfg: FourierGridConfig,
@@ -735,7 +830,9 @@ def scale_volume_grid(
     )
     ws = new_cfg.world_size_density
     alpha = _dense_alpha_chunked(params, new_cfg, ws)
-    pooled = interp.max_pool_3d_same(alpha)
+    pooled = interp.max_pool_3d_same(
+        alpha, window=_occupancy_dilation_window(new_cfg)
+    )
     axes = [jnp.linspace(mn, mx, n) for mn, mx, n in
             zip(cfg.xyz_min, cfg.xyz_max, ws)]
     xyz = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), -1)
@@ -749,7 +846,9 @@ def scale_volume_grid(
 def update_occupancy_cache(params: FourierGridParams, cfg: FourierGridConfig):
     mc_shape = params.mask_cache.mask.shape
     alpha = _dense_alpha_chunked(params, cfg, mc_shape)
-    pooled = interp.max_pool_3d_same(alpha)
+    pooled = interp.max_pool_3d_same(
+        alpha, window=_occupancy_dilation_window(cfg)
+    )
     new_mask = params.mask_cache.mask & (pooled > cfg.fast_color_thres)
     return params.replace(mask_cache=params.mask_cache.replace(mask=new_mask))
 
@@ -818,17 +917,7 @@ def _adaptive_fns(cfg: FourierGridConfig, N: int, seg: int,
     thres = cfg.fast_color_thres
 
     def density_of(cache, pts):
-        B = len(cache.density_tables)
-        d = None
-        c01b = jnp.moveaxis(_bank_coords01(cfg, pts), -2, 0)
-        dims = cfg.world_size_density
-        for b in range(B):
-            base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
-            v = packed_ops.packed_trilerp_folded(
-                cache.density_tables[b], base, w, 1, cache.density_fold
-            )
-            d = v if d is None else d + v
-        return d[..., 0] / B
+        return _cache_density(cfg, cache, pts, cfg.world_size_density)
 
     @jax.jit
     def phase_a(params, cache, ro, rd):
@@ -913,6 +1002,52 @@ def _adaptive_fns(cfg: FourierGridConfig, N: int, seg: int,
     return {"phase_a": phase_a, "phase_b": phase_b, "finish": finish}
 
 
+def _eval_field_on_lattice(
+    field, xyz_min, xyz_max, ws, out_ch: int, max_pts_per_slab: int = 1 << 20
+) -> jnp.ndarray:
+    """Dense multi-bank field evaluation on a [X, Y, Z] world lattice through
+    the packed-corner engine: one gathered row per point per bank instead of
+    eight (the 8-corner path costs ~3.2G gather rows for a 201^3 bake —
+    minutes; packed is ~25x fewer). x-slabs bound peak memory."""
+    from unboundednerfpytorch_tpu.fields.grids import nerf_pos_embed_coords
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    X, Y, Z = (int(v) for v in ws)
+    slab = max(1, min(X, max_pts_per_slab // max(Y * Z, 1)))
+    n_slabs = -(-X // slab)
+    xs = jnp.pad(jnp.linspace(xyz_min[0], xyz_max[0], X),
+                 (0, n_slabs * slab - X))
+    ys = jnp.linspace(xyz_min[1], xyz_max[1], Y)
+    zs = jnp.linspace(xyz_min[2], xyz_max[2], Z)
+    B = field.grid.shape[0]
+    dims = field.grid.shape[1:4]
+    mn = jnp.asarray(field.xyz_min)
+    mx = jnp.asarray(field.xyz_max)
+
+    def eval_bank(table, c01_b):
+        base, w = packed_ops.corner_base_and_weights(c01_b, dims)
+        return packed_ops.packed_trilerp(table, base, w, out_ch)
+
+    @jax.jit
+    def one_bank(table, bank_index):
+        def one_slab(x_vals):
+            xyz = jnp.stack(jnp.meshgrid(x_vals, ys, zs, indexing="ij"), -1)
+            coords = ((xyz - mn) / (mx - mn)) * 2.0 - 1.0
+            c01 = (nerf_pos_embed_coords(coords, field.num_freqs) + 1.0) * 0.5
+            return eval_bank(table, c01[..., bank_index, :])
+
+        return jax.lax.map(one_slab, xs.reshape(n_slabs, slab))
+
+    acc = None
+    for b in range(B):
+        table = jax.jit(packed_ops.pack_corners)(field.grid[b])
+        v = one_bank(table, b)
+        acc = v if acc is None else acc + v
+        del table
+    out = acc / B
+    return out.reshape(n_slabs * slab, Y, Z, out_ch)[:X]
+
+
 def bake_for_rendering(
     params: FourierGridParams,
     cfg: FourierGridConfig,
@@ -943,57 +1078,13 @@ def bake_for_rendering(
     wd = new_cfg.world_size_density
     wr = new_cfg.world_size_rgb
 
-    from unboundednerfpytorch_tpu.ops import packed as packed_ops
-
-    def eval_on_lattice(field, ws, out_ch):
-        """Dense multi-bank evaluation through the packed-corner engine:
-        one gathered row per point per bank instead of eight (the 8-corner
-        path costs ~3.2G gather rows for a 201^3 bake — minutes; packed is
-        ~25x fewer)."""
-        X, Y, Z = (int(v) for v in ws)
-        slab = max(1, min(X, max_pts_per_slab // max(Y * Z, 1)))
-        n_slabs = -(-X // slab)
-        xs = jnp.pad(jnp.linspace(cfg.xyz_min[0], cfg.xyz_max[0], X),
-                     (0, n_slabs * slab - X))
-        ys = jnp.linspace(cfg.xyz_min[1], cfg.xyz_max[1], Y)
-        zs = jnp.linspace(cfg.xyz_min[2], cfg.xyz_max[2], Z)
-        B = field.grid.shape[0]
-        dims = field.grid.shape[1:4]
-        mn = jnp.asarray(field.xyz_min)
-        mx = jnp.asarray(field.xyz_max)
-
-        def eval_bank(table, c01_b):
-            base, w = packed_ops.corner_base_and_weights(c01_b, dims)
-            return packed_ops.packed_trilerp(table, base, w, out_ch)
-
-        @jax.jit
-        def one_bank(table, bank_index):
-            def one_slab(x_vals):
-                xyz = jnp.stack(
-                    jnp.meshgrid(x_vals, ys, zs, indexing="ij"), -1
-                )
-                coords = ((xyz - mn) / (mx - mn)) * 2.0 - 1.0
-                from unboundednerfpytorch_tpu.fields.grids import (
-                    nerf_pos_embed_coords,
-                )
-
-                c01 = (nerf_pos_embed_coords(coords, field.num_freqs) + 1.0) * 0.5
-                return eval_bank(table, c01[..., bank_index, :])
-
-            return jax.lax.map(one_slab, xs.reshape(n_slabs, slab))
-
-        acc = None
-        for b in range(B):
-            table = jax.jit(packed_ops.pack_corners)(field.grid[b])
-            v = one_bank(table, b)
-            acc = v if acc is None else acc + v
-            del table
-        out = acc / B
-        return out.reshape(n_slabs * slab, Y, Z, out_ch)[:X]
-
     dt = jnp.dtype(cfg.grid_dtype)
-    baked_density = eval_on_lattice(params.density, wd, 1).astype(dt)
-    baked_k0 = eval_on_lattice(params.k0, wr, cfg.k0_dim).astype(dt)
+    baked_density = _eval_field_on_lattice(
+        params.density, cfg.xyz_min, cfg.xyz_max, wd, 1, max_pts_per_slab
+    ).astype(dt)
+    baked_k0 = _eval_field_on_lattice(
+        params.k0, cfg.xyz_min, cfg.xyz_max, wr, cfg.k0_dim, max_pts_per_slab
+    ).astype(dt)
 
     params_baked = params.replace(
         density=FourierGrid(

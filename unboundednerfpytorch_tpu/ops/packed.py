@@ -135,6 +135,48 @@ def pack_corners_folded(grid: jnp.ndarray, fold: int) -> jnp.ndarray:
     return flat.reshape((t + pad) // fold, fold * 8 * C)
 
 
+def pack_corners_folded_chunked(
+    grid: jnp.ndarray, fold: int, plane_chunk: int = 16
+) -> jnp.ndarray:
+    """:func:`pack_corners_folded` built in x-plane chunks.
+
+    The one-shot path materializes the [T, 8*C] corner table before the fold
+    reshape — on TPU that intermediate is lane-padded to 128, a 128/(8*C)-fold
+    physical blowup (16.9GB for a 320^3 1-channel f32 bake, an OOM). Chunks
+    of ``plane_chunk`` base x-planes keep the padded transient at
+    plane_chunk*(Y+1)*(Z+1)*128*itemsize (<1GB) and concatenate pre-folded
+    rows. Requires plane_chunk*(Y+1)*(Z+1) % fold == 0 (plane_chunk=16 works
+    for any fold that divides 16).
+    """
+    X, Y, Z, C = grid.shape
+    P = (Y + 1) * (Z + 1)
+    assert (plane_chunk * P) % fold == 0, (plane_chunk, P, fold)
+    padded = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0)))
+
+    @jax.jit
+    def one_chunk(pad_slab):
+        # pad_slab: [plane_chunk+1, Y+2, Z+2, C] — base planes + right halo
+        parts = [
+            pad_slab[dx : dx + plane_chunk, dy : dy + Y + 1, dz : dz + Z + 1]
+            for dx, dy, dz in CORNERS
+        ]
+        flat = jnp.concatenate(parts, axis=-1).reshape(plane_chunk * P, 8 * C)
+        return flat.reshape((plane_chunk * P) // fold, fold * 8 * C)
+
+    chunks = []
+    for a in range(0, X + 1, plane_chunk):
+        b = min(a + plane_chunk, X + 1)
+        slab = padded[a : b + 1]
+        if b - a < plane_chunk:  # pad the final partial chunk of planes
+            slab = jnp.pad(
+                slab, ((0, plane_chunk - (b - a)), (0, 0), (0, 0), (0, 0))
+            )
+        chunks.append(one_chunk(slab))
+    out = jnp.concatenate(chunks)
+    t_rows = -(-((X + 1) * P) // fold)
+    return out[:t_rows]
+
+
 def packed_trilerp_folded(
     table: jnp.ndarray,
     base_idx: jnp.ndarray,

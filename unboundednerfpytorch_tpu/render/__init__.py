@@ -56,12 +56,20 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             print(f"baked render grids: {mcfg.world_size_density} single-bank")
         cache = fg.build_render_cache(params, mcfg)
     fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
-    # params + packed tables ride as jit arguments (renderer aux), never as
-    # captured constants
-    fwd = lambda aux, ro, rd, vd: fwd_core(
-        aux[0], ro, rd, vd, None, cache=aux[1]
-    )
-    aux = (params, cache)
+    if getattr(args, "constant_baked", False):
+        # tables as compile-time CONSTANTS: XLA folds layouts/packing into
+        # the executable (1.5-2.2x the argument-path gather rate, exact).
+        # First compile is long (minutes at 160^3); the persistent
+        # compilation cache (cli/main.py) makes later runs start instantly.
+        fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None, cache=cache)
+        aux = None
+    else:
+        # params + packed tables ride as jit arguments (renderer aux) — no
+        # bake-in, compiles in seconds against abstract shapes
+        fwd = lambda aux, ro, rd, vd: fwd_core(
+            aux[0], ro, rd, vd, None, cache=aux[1]
+        )
+        aux = (params, cache)
 
     # optional ARF stylization of the render set (run_render.py:119-122,170-172)
     stylizer = None

@@ -183,6 +183,7 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
                 rand_bkgd_key=key if render_kwargs.get("rand_bkgd") else None,
                 img_index=img_index,
                 cache=cache,
+                spatial_mesh=render_kwargs.get("spatial_mesh"),
             )
 
         return fwd
@@ -250,6 +251,7 @@ def scene_rep_reconstruction(
     save_every: int = 0,
     coarse_mask_fn=None,
     use_mesh: bool | None = None,
+    grid_parallel: int = 1,
 ):
     """One training stage; returns (family, model config, trained params, psnr).
 
@@ -260,7 +262,13 @@ def scene_rep_reconstruction(
     False forces single-device execution. Multi-process runs additionally
     assemble the global batch from per-host view-shard stores
     (parallel.mesh.make_global_batch), so the DP step is well-defined across
-    hosts."""
+    hosts.
+
+    ``grid_parallel``: shard the voxel grids (and their Adam moments)
+    spatially over a `grid` mesh axis of this size — the >HBM case
+    (SURVEY.md §7.3: 320^3 x 7-bank grids exceed one chip). Field queries
+    route through the halo-exchange sampler (parallel/halo.py); rays stay
+    data-parallel over the remaining devices."""
     # world_bound_scale bbox inflation (run_train.py:100-104)
     xyz_min = np.asarray(xyz_min, np.float64)
     xyz_max = np.asarray(xyz_max, np.float64)
@@ -328,7 +336,17 @@ def scene_rep_reconstruction(
     n_dev = len(jax.devices())
     auto_mesh = use_mesh if use_mesh is not None else n_dev > 1
     mesh = None
-    if auto_mesh and n_dev > 1:
+    if grid_parallel > 1:
+        assert n_dev % grid_parallel == 0, (n_dev, grid_parallel)
+        assert cfg_train.N_rand % (n_dev // grid_parallel) == 0, (
+            cfg_train.N_rand, n_dev, grid_parallel)
+        mesh = mesh_mod.make_mesh(grid_parallel=grid_parallel)
+        render_kwargs["spatial_mesh"] = mesh
+        log_fn(
+            f"{stage}: 2D mesh {dict(mesh.shape)} — grids sharded spatially "
+            "(halo-exchange sampling), rays data-parallel"
+        )
+    elif auto_mesh and n_dev > 1:
         if cfg_train.N_rand % n_dev == 0:
             mesh = mesh_mod.make_mesh()
             log_fn(f"{stage}: DP over {n_dev} devices (mesh axis 'data')")
@@ -432,10 +450,13 @@ def scene_rep_reconstruction(
     # load2gpu_on_the_fly the store stays in host RAM and batches are sliced
     # host-side, else the sampler is fused into the jitted step.
     def place(tree):
-        """Commit a pytree to the mesh, replicated (params/opt state/store:
-        every chip holds a copy; only the batch is sharded)."""
+        """Commit a pytree to the mesh: replicated, except the voxel grids
+        (and their Adam moments) when grid_parallel > 1 — those shard their
+        leading spatial axis over the `grid` mesh axis."""
         if mesh is None:
             return tree
+        if grid_parallel > 1:
+            return mesh_mod.shard_params(mesh, tree, shard_grids=True)
         return jax.device_put(tree, mesh_mod.replicated(mesh))
 
     state = place(state)
@@ -673,7 +694,7 @@ def run_train_blocks(
 def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
               exp_dir: str | None = None, no_reload: bool = False,
               no_reload_optimizer: bool = False, save_every: int = 0,
-              use_mesh: bool | None = None):
+              use_mesh: bool | None = None, grid_parallel: int = 1):
     """Full two-stage recipe (run_train.py:336-398). Returns the fine model."""
     xyz_min_c, xyz_max_c = bbox_mod.compute_bbox_by_cam_frustrm(
         cfg, data_dict, model_family_name(cfg)
@@ -685,7 +706,7 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
             xyz_min_c, xyz_max_c, data_dict, stage="coarse",
             seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
             no_reload_optimizer=no_reload_optimizer, save_every=save_every,
-            use_mesh=use_mesh,
+            use_mesh=use_mesh, grid_parallel=grid_parallel,
         )
 
     if coarse_out is None or cfg.data.dataset_type == "waymo":
@@ -720,5 +741,6 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
         seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
         no_reload_optimizer=no_reload_optimizer, save_every=save_every,
         coarse_mask_fn=coarse_mask, use_mesh=use_mesh,
+        grid_parallel=grid_parallel,
     )
     return family, mcfg, params, psnr
