@@ -59,4 +59,11 @@ fine_model_and_render = dict(
     fourier_freq_num=4,
     rgbnet_depth=3,
     maskout_near_cam_vox=False,
+    # TPU render fast path (tt_default.py): two-stage packed engine with a
+    # density bake at render time (color exact)
+    grid_dtype='bfloat16',
+    sample_budget=96,
+    budget_probe_stride=2,
+    color_budget=32,
+    density_bake_scale=2.0,
 )

@@ -4,11 +4,14 @@ with the two-stage cached forward for every survivor-bucket size."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from unboundednerfpytorch_tpu.models import fourier_grid as fg
+
+pytestmark = pytest.mark.slow
 
 
 def _model(seed=0):

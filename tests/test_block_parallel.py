@@ -83,6 +83,7 @@ def test_blocks_train_concurrently_and_merge(tmp_path, data):
     assert mesh.devices.size == 2
 
 
+@pytest.mark.slow
 def test_block_parallel_resume_mid_run(tmp_path, data):
     """Kill-and-resume: periodic per-block saves let a rerun continue from
     the saved step instead of restarting (VERDICT r2 item 8); the resumed

@@ -3,6 +3,7 @@ the replicated ops.interp.grid_sample_3d exactly, including shard-boundary
 cells and out-of-range coordinates."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from unboundednerfpytorch_tpu.ops import interp
 from unboundednerfpytorch_tpu.parallel import halo, mesh as mesh_mod
 
 
+@pytest.mark.slow
 def test_sharded_sample_matches_replicated():
     mesh = mesh_mod.make_mesh(8, grid_parallel=8)
     # make_mesh(grid_parallel=8) needs n % 8 == 0 -> ('data', 'grid') mesh
@@ -99,6 +101,7 @@ def test_sharded_field_training_matches_replicated():
     )
 
 
+@pytest.mark.slow
 def test_sharded_sample_grad_matches():
     """The halo path is plain jnp inside shard_map — gradients must flow and
     match the replicated path (scatter-adds cross the halo correctly)."""

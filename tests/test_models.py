@@ -174,6 +174,7 @@ def test_dvgo_packed_render_cache_parity():
     )
 
 
+@pytest.mark.slow
 def test_dcvgo_and_dmpigo_packed_render_cache_parity():
     import jax
 

@@ -4,6 +4,7 @@ scale_volume_grid must refresh the mask for any grid size (the round-1
 silent 256^3 cap is gone)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,7 @@ def _params_cfg():
     return params, cfg
 
 
+@pytest.mark.slow
 def test_chunked_alpha_matches_one_shot():
     params, cfg = _params_cfg()
     ws = cfg.world_size_density

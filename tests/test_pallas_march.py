@@ -35,6 +35,7 @@ def test_forward_pads_nonaligned_rays():
     assert w.shape == (37, 17) and ai.shape == (37,)
 
 
+@pytest.mark.slow
 def test_backward_matches_xla_autodiff():
     density, mask = _data(2, n=24, s=19)
     shift, interval = -1.0, 0.5

@@ -4,6 +4,7 @@ math (torch F.grid_sample + sequential transmittance scan + torch autograd),
 mirroring how the reference computes them (dvgo.py forward + CUDA kernels)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -64,6 +65,7 @@ def torch_dvgo_forward(density_grid, k0_grid, mlp_params, pts, mask, viewdirs,
     return rgb_marched, weights, alphainv
 
 
+@pytest.mark.slow
 def test_dvgo_forward_and_pixel_grads_match_torch():
     rng = np.random.RandomState(0)
     C = 6

@@ -81,6 +81,7 @@ def test_two_stage_matches_single_stage(budget):
     )
 
 
+@pytest.mark.slow
 def test_density_bake_is_close_and_observable():
     """density_bake_scale: the render-only density bake must (a) build a
     single-bank folded table at scaled dims, (b) render within a tight PSNR

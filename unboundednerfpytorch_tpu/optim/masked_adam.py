@@ -65,12 +65,18 @@ class MaskedAdamState(NamedTuple):
     exp_avg_sq: Any  # pytree matching params
 
 
+def _moment_like(p):
+    """Adam moments are at-least-f32 even for bf16 grids (bf16 exp_avg_sq
+    underflows; the reference keeps f32 state throughout)."""
+    dt = jnp.promote_types(p.dtype, jnp.float32)
+    return jnp.zeros(p.shape, dt)
+
+
 def init(params: Any) -> MaskedAdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
     return MaskedAdamState(
         step=jnp.zeros((), jnp.int32),
-        exp_avg=zeros,
-        exp_avg_sq=jax.tree.map(jnp.zeros_like, params),
+        exp_avg=jax.tree.map(_moment_like, params),
+        exp_avg_sq=jax.tree.map(_moment_like, params),
     )
 
 
@@ -119,18 +125,28 @@ def update(
         if isinstance(plr, _NoPerLR):
             plr = None
         step_size = h.lr * lr_scale * bias_corr
+        # update math in the MOMENT dtype (>= f32); the param is cast back to
+        # its own dtype — without the cast a bf16 grid comes out f32, which
+        # both drifts the model dtype and retraces the jitted step every
+        # iteration (and the retraced all-f32 program OOMs at 160^3)
+        g = g.astype(m.dtype)
         if h.skip_zero_grad and plr is None:
             mask = g != 0
             m1 = jnp.where(mask, beta1 * m + (1.0 - beta1) * g, m)
             v1 = jnp.where(mask, beta2 * v + (1.0 - beta2) * g * g, v)
-            p1 = jnp.where(mask, p - step_size * m1 / (jnp.sqrt(v1) + eps), p)
+            p1 = jnp.where(
+                mask,
+                (p.astype(m.dtype) - step_size * m1 / (jnp.sqrt(v1) + eps))
+                .astype(p.dtype),
+                p,
+            )
         else:
             m1 = beta1 * m + (1.0 - beta1) * g
             v1 = beta2 * v + (1.0 - beta2) * g * g
             upd = step_size * m1 / (jnp.sqrt(v1) + eps)
             if plr is not None:
                 upd = upd * plr
-            p1 = p - upd
+            p1 = (p.astype(m.dtype) - upd).astype(p.dtype)
         new_p.append(p1)
         new_m.append(m1)
         new_v.append(v1)

@@ -150,7 +150,9 @@ def run_train_blocks_parallel(
             if ob is not None:
                 st = st.replace(
                     opt_state=jax.tree.map(
-                        jnp.asarray, ckpt.restore_opt_state(ob, st.opt_state)
+                        lambda t, s_: jnp.asarray(s_, t.dtype),
+                        st.opt_state,
+                        ckpt.restore_opt_state(ob, st.opt_state),
                     )
                 )
             states.append(st)

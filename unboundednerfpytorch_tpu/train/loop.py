@@ -403,11 +403,14 @@ def scene_rep_reconstruction(
         # trajectory (run_train.py:313-331 optimizer_state_dict reload)
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
 
+        restored = ckpt_mod.restore_opt_state(opt_bytes, state.opt_state)
+        # cast to the template dtypes (older checkpoints may hold bf16
+        # moments; the optimizer keeps >=f32 moments)
         state = state.replace(
-            opt_state=ckpt_mod.restore_opt_state(opt_bytes, state.opt_state)
-        )
-        state = state.replace(
-            opt_state=jax.tree.map(jnp.asarray, state.opt_state)
+            opt_state=jax.tree.map(
+                lambda t, s_: jnp.asarray(s_, t.dtype), state.opt_state,
+                restored,
+            )
         )
 
     # per-voxel learning rate from view counts (run_train.py:169-180)

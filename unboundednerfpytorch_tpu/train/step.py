@@ -147,6 +147,11 @@ def make_train_step(
             sub = trainable[name]
             base_w = weight / n_rays
             if hasattr(sub, "grid"):
+                # NOTE: keep this a single fused elementwise expression — a
+                # lax.map over banks normalizes the [B,X,Y,Z,C] operands to
+                # the default (channel-minor) layout, a 128/C-fold physical
+                # padding of every temp (measured 6.75GB for ONE temp at
+                # 160^3 x 7 banks x 12ch -> compile-time OOM)
                 g = grads[name].grid
                 tvg = tv_ops.total_variation_grad(
                     sub.grid, base_w * sx, base_w * sy, base_w * sz,
