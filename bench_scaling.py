@@ -65,39 +65,44 @@ def main() -> None:
     def fwd(p, ro, rd, vd, key, img_index=None):
         return fg.forward(p, cfg, ro, rd, vd, bg=1.0)
 
-    step = make_train_step(
-        fwd, tc, world_size_max=float(max(cfg.world_size_density)), donate=False
-    )
-
     per_device_rays = 512
     results = {}
     counts = [n for n in (1, 2, 4, 8) if n <= n_avail]
     for n_dev in counts:
         mesh = mesh_mod.make_mesh(n_dev)
         params = fg.create(cfg, jax.random.PRNGKey(0))
-        state = create_train_state(params, tc)
-        state = state.replace(params=mesh_mod.shard_params(mesh, state.params))
         n_rays = per_device_rays * n_dev  # weak scaling: fixed work per device
 
-        def make_batch(seed):
-            k = jax.random.PRNGKey(seed)
-            ro = jax.random.uniform(k, (n_rays, 3), minval=1.5, maxval=3.0)
-            rd = -ro
-            vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-            return mesh_mod.shard_batch(
-                mesh,
-                {"rgb": jnp.ones((n_rays, 3)) * 0.5, "rays_o": ro,
-                 "rays_d": rd, "viewdirs": vd},
-            )
+        # the SAME step the flagship loop compiles (loop.compile_step):
+        # make_train_step core + fused device-side sampler, batch sharded
+        # over the data axis, params/store replicated
+        from unboundednerfpytorch_tpu.train.step import make_sampled_step
 
-        jstep = jax.jit(step, donate_argnums=())
+        core = make_train_step(
+            fwd, tc, world_size_max=float(max(cfg.world_size_density)),
+        )
+        sstep = make_sampled_step(core, n_rays, mesh=mesh)
+
+        k = jax.random.PRNGKey(0)
+        ro = jax.random.uniform(k, (65536, 3), minval=1.5, maxval=3.0)
+        rd = -ro
+        store = {
+            "rgb": jnp.ones((65536, 3)) * 0.5,
+            "rays_o": ro,
+            "rays_d": rd,
+            "viewdirs": rd / jnp.linalg.norm(rd, axis=-1, keepdims=True),
+        }
+        rep_sh = mesh_mod.replicated(mesh)
+        store = jax.device_put(store, rep_sh)
+        state = jax.device_put(create_train_state(params, tc), rep_sh)
+
         with mesh:
-            state, m = jstep(state, make_batch(0), jax.random.PRNGKey(1))
+            state, m = sstep(state, store, jax.random.PRNGKey(1))
             float(m["loss"])  # warm
             reps = 4
             t0 = time.perf_counter()
             for r in range(reps):
-                state, m = jstep(state, make_batch(r + 1), jax.random.PRNGKey(r))
+                state, m = sstep(state, store, jax.random.PRNGKey(r))
                 float(m["loss"])  # forces completion each step
             dt = (time.perf_counter() - t0) / reps
         rays_s = n_rays / dt
