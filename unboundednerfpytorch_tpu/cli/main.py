@@ -2,8 +2,10 @@
 
 Re-implements ``/root/reference/run_FourierGrid.py``: argparse surface,
 config load, seeding, block-count computation, and program dispatch
-(train | render | export_bbox | export_coarse | gen_trace). ``sfm`` and
-``tune_pose`` are accepted-but-unimplemented, matching the reference
+(train | render | export_bbox | export_coarse | gen_trace | linemod_eval |
+sfm). ``sfm`` actually runs (COLMAP driver + poses_bounds.npy, the
+imgs2poses pipeline) where the reference raises NotImplementedError;
+``tune_pose`` stays accepted-but-unimplemented like the reference
 (run_FourierGrid.py:122-123).
 """
 
@@ -105,6 +107,19 @@ def main(argv=None) -> int:
     from unboundednerfpytorch_tpu.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed(log_fn=print)
+
+    if args.program == "sfm":
+        # custom-scene reconstruction (imgs2poses.py semantics): run COLMAP
+        # on cfg.data.datadir's images/ and write poses_bounds.npy — BEFORE
+        # load_everything, which needs the result. The reference ACCEPTS
+        # this program but raises NotImplementedError
+        # (run_FourierGrid.py:122-123); here it works when a colmap binary
+        # is installed.
+        from unboundednerfpytorch_tpu.data import colmap as colmap_mod
+
+        colmap_mod.gen_poses(cfg.data.datadir)
+        print(f"sfm: wrote {os.path.join(cfg.data.datadir, 'poses_bounds.npy')}")
+        return 0
 
     data_dict = load_everything(cfg, sample_num=args.sample_num)
 

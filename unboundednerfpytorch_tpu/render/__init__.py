@@ -80,6 +80,19 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
         H0, W0 = (int(v) for v in np.asarray(data_dict["HW"])[0])
         stylizer = ARF(style_root, getattr(args, "style_id", 0), H0, W0)
 
+    # cooperative multi-chip rendering: shard each chunk's rays over a
+    # `data` mesh axis (model state replicated) when >1 device is visible.
+    # Constant-baked mode stays single-program (tables are compile-time
+    # constants of one executable).
+    import jax as _jax
+
+    mesh = None
+    if len(_jax.devices()) > 1 and aux is not None:
+        from unboundednerfpytorch_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh()
+        print(f"render: cooperative over {mesh.devices.size} devices")
+
     splits = []
     if getattr(args, "render_train", False):
         splits.append(("train", data_dict["i_train"], None))
@@ -118,6 +131,7 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             flip_y=cfg.data.flip_y,
             eval_lpips=getattr(args, "eval_lpips", False),
             aux=aux,
+            mesh=mesh,
         )
         rgbs = out["rgbs"]
         if stylizer is not None and len(rgbs):
