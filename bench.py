@@ -36,6 +36,7 @@ from __future__ import annotations
 import dataclasses
 import gc
 import json
+import os
 import sys
 import time
 
@@ -124,13 +125,20 @@ def main() -> None:
         "viewdirs": jnp.concatenate(vd_l),
     }
 
+    # fused Pallas TV injection (production wiring on TPU, train/loop.py)
+    tv_fused = None
+    if jax.default_backend() == "tpu":
+        from unboundednerfpytorch_tpu.ops.pallas import tv as ptv
+
+        tv_fused = ptv.make_tv_fused()
+
     def make_step(cfg_fwd, donate=True):
         def fwd(p, ro, rd, vd, key, img_index=None):
             return fg.forward(p, cfg_fwd, ro, rd, vd, bg=1.0)
 
         core = make_train_step(
             fwd, tcfg, world_size_max=float(max(cfg_fwd.world_size)),
-            donate=donate,
+            donate=donate, tv_fused=tv_fused,
         )
         return make_sampled_step(core, TRAIN_BATCH, donate=donate)
 
@@ -261,6 +269,46 @@ def main() -> None:
     baked_rays = H * W / baked_s
     _phase(f"baked: {baked_rays:.0f} rays/s ({baked_s:.2f} s/image)")
 
+    # --- 4c. OPT-IN: constant-baked executable on top of the density bake --
+    # (BENCH_CONST_BAKED=1) tables as compile-time constants — the
+    # `--constant_baked` video mode. Long per-scene compile (one-time with
+    # the persistent cache); excluded from the default driver run.
+    const_detail = None
+    if os.environ.get("BENCH_CONST_BAKED"):
+        from unboundednerfpytorch_tpu.utils import compile_cache
+
+        compile_cache.enable_persistent_compilation_cache()
+
+        def forward_const(ro, rd, vd):
+            return fg.forward(params, cfg_b, ro, rd, vd, bg=1.0, cache=cache_b)
+
+        t0 = time.perf_counter()
+        img_c = renderer.render_image(
+            forward_const, H, W, K800, pose_w[:3, :4]
+        )[0]
+        compile_s = time.perf_counter() - t0
+        mse_c = float(np.mean((img_exact - img_c) ** 2))
+        _phase(
+            f"const-baked warm render done in {compile_s:.0f}s; PSNR vs "
+            f"exact = {-10.0 * np.log10(max(mse_c, 1e-12)):.1f} dB"
+        )
+        run_const = lambda h, w, k, p, a: renderer.render_image(
+            forward_const, h, w, k, p
+        )
+        const_s = timed_renders(run_const, None, 1.51)
+        const_rays = H * W / const_s
+        const_detail = {
+            "const_baked_rays_per_s": round(const_rays, 1),
+            "const_baked_vs_baseline": round(
+                const_rays / REFERENCE_RAYS_PER_S, 3
+            ),
+            "const_baked_psnr_vs_exact_db": round(
+                -10.0 * np.log10(max(mse_c, 1e-12)), 2
+            ),
+            "const_baked_compile_s": round(compile_s, 1),
+        }
+        _phase(f"const-baked: {const_rays:.0f} rays/s ({const_s:.2f} s/image)")
+
     print(
         json.dumps(
             {
@@ -282,6 +330,7 @@ def main() -> None:
                     "occupancy_frac": round(occ_frac, 4),
                     "image": f"{H}x{W}",
                     "seconds_per_image": round(baked_s, 3),
+                    **(const_detail or {}),
                 },
             }
         )

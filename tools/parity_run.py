@@ -34,6 +34,14 @@ import time
 
 import numpy as np
 
+# script-mode bootstrap: `python tools/parity_run.py` puts tools/ (not the
+# repo root) at sys.path[0], so the package import below would fail
+import os as _os
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 # ---------------------------------------------------------------------------
 # torch reference implementation (independent math, reference semantics)
 # ---------------------------------------------------------------------------

@@ -497,9 +497,18 @@ def scene_rep_reconstruction(
             ws = mcfg_now.world_size
             wxy = float(max(ws[:2])) / 128.0
             tv_axis_scale = (wxy, wxy, float(mcfg_now.mpi_depth) / 128.0)
+        # fused TV injection on TPU (ops/pallas/tv.py): one HBM pass vs the
+        # ~17-pass XLA shift expression. Spatially-sharded grids keep the
+        # XLA path (its shifts partition over the `grid` axis; the kernel
+        # would need an explicit halo).
+        tv_fused = None
+        if jax.default_backend() == "tpu" and grid_parallel == 1:
+            from unboundednerfpytorch_tpu.ops.pallas import tv as ptv
+
+            tv_fused = ptv.make_tv_fused(mesh=mesh)
         core = make_train_step(
             fwd, cfg_train, world_size_max=ws_max, near_thres=near_thres,
-            tv_axis_scale=tv_axis_scale,
+            tv_axis_scale=tv_axis_scale, tv_fused=tv_fused,
         )
         if use_host_store:
             jitted = jax.jit(core, donate_argnums=(0,))
