@@ -196,3 +196,39 @@ def test_scene_manager_text_model(tmp_path):
     np.testing.assert_allclose(K[0, 0], 50.0)
     assert sm.images[1]["name"] == "x.png"
     np.testing.assert_allclose(sm.images[1]["tvec"], [0, 0, 2])
+
+
+def test_vis_volume_and_vis_train_cli(tmp_path):
+    """The headless viewer shims consume the export artifacts end-to-end
+    (reference: tools/vis_volume.py + tools/vis_train.py)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.RandomState(0)
+    vol = os.path.join(str(tmp_path), "coarse_volume.npz")
+    np.savez_compressed(
+        vol,
+        alpha=rng.rand(6, 5, 4).astype(np.float32),
+        rgb=rng.rand(6, 5, 4, 3).astype(np.float32),
+    )
+    poses = np.tile(np.eye(4)[None, :3, :4], (3, 1, 1)).astype(np.float32)
+    poses[:, :3, 3] = rng.randn(3, 3)
+    cam = os.path.join(str(tmp_path), "cam.npz")
+    np.savez_compressed(
+        cam, xyz_min=np.zeros(3), xyz_max=np.ones(3) * 4, poses=poses
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "vis_volume.py"),
+         vol, "0.5", "--cam", cam],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert os.path.exists(os.path.join(str(tmp_path), "coarse_volume.png"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "vis_train.py"), cam],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert os.path.exists(os.path.join(str(tmp_path), "cam.png"))

@@ -64,6 +64,47 @@ def plot_cameras(
     plt.close(fig)
 
 
+def plot_volume(
+    points: np.ndarray,
+    colors: np.ndarray,
+    xyz_min,
+    xyz_max,
+    out_path: str,
+    poses: np.ndarray | None = None,
+    title: str = "coarse volume",
+) -> None:
+    """Active-voxel point cloud + scene bbox (+ optional camera frusta) to a
+    PNG — the headless equivalent of the reference's open3d volume viewer
+    (/root/reference/FourierGrid/tools/vis_volume.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(9, 9))
+    ax = fig.add_subplot(111, projection="3d")
+    s = float(np.clip(2e5 / max(len(points), 1), 0.3, 8.0))
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2],
+               c=colors, s=s, linewidths=0, depthshade=False)
+    mn, mx = np.asarray(xyz_min, np.float64), np.asarray(xyz_max, np.float64)
+    corners = mn + np.array(
+        [[0, 0, 0], [0, 0, 1], [0, 1, 1], [0, 1, 0],
+         [1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]], np.float64
+    ) * (mx - mn)
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+                 (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]:
+        ax.plot(*zip(corners[a], corners[b]), color="tab:red", lw=0.8)
+    if poses is not None:
+        scale = 0.03 * float(np.linalg.norm(mx - mn))
+        for c2w in np.asarray(poses):
+            pts = _frustum_points(np.asarray(c2w)[:3, :4], scale=scale)
+            for i in range(1, 5):
+                ax.plot(*zip(pts[0], pts[i]), color="0.5", lw=0.4)
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_block_split(blocks: dict, out_path: str) -> None:
     """Top-down (x, y) map of block centroids + member camera origins
     (the block_visualize.py equivalent)."""
