@@ -95,3 +95,9 @@ fine_model_and_render = dict(
 
     main(["--config", cfg_path, "--program", "gen_trace"])
     assert os.path.exists(os.path.join(exp, "render_poses.json"))
+
+    # pose refinement against the trained checkpoint (the reference accepts
+    # --program tune_pose but raises NotImplementedError)
+    main(["--config", cfg_path, "--program", "tune_pose", "--tune_steps", "5"])
+    tuned = np.load(os.path.join(exp, "tuned_poses.npy"))
+    assert tuned.shape == (6, 3, 4) and np.all(np.isfinite(tuned))

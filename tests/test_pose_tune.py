@@ -1,0 +1,159 @@
+"""Pose refinement (`--program tune_pose`, train/pose_tune.py).
+
+The reference accepts the program but raises NotImplementedError
+(run_FourierGrid.py:122-123); this implementation refines per-image se(3)
+deltas by backprop through the frozen model. Gates: so3 exponential math,
+pixel->ray parity with ops/rays.get_rays, delta-application identity, and a
+slow convergence test recovering perturbed poses on a trained scene.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unboundednerfpytorch_tpu.ops import rays as ray_ops
+from unboundednerfpytorch_tpu.train import pose_tune
+
+
+def test_so3_exp_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.RandomState(0)
+    omega = rng.randn(8, 3) * 0.7
+    R = np.asarray(pose_tune.so3_exp(jnp.asarray(omega, jnp.float32)))
+    R_ref = Rotation.from_rotvec(omega).as_matrix()
+    np.testing.assert_allclose(R, R_ref, atol=1e-5)
+
+
+def test_so3_exp_identity_at_zero():
+    R = np.asarray(pose_tune.so3_exp(jnp.zeros((3,))))
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-7)
+    # gradient is finite through theta=0 (the optimization starts there)
+    g = jax.grad(lambda w: jnp.sum(pose_tune.so3_exp(w)))(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_apply_pose_delta_identity_and_composition():
+    rng = np.random.RandomState(1)
+    from scipy.spatial.transform import Rotation
+
+    c2w = np.concatenate(
+        [Rotation.random(random_state=2).as_matrix(), rng.randn(3, 1)], axis=1
+    ).astype(np.float32)
+    out = np.asarray(pose_tune.apply_pose_delta(jnp.asarray(c2w), jnp.zeros(6)))
+    np.testing.assert_allclose(out, c2w, atol=1e-6)
+    # translation delta moves the center by R @ t (camera-frame)
+    t = np.array([0.1, -0.2, 0.3], np.float32)
+    out = np.asarray(pose_tune.apply_pose_delta(
+        jnp.asarray(c2w), jnp.asarray(np.concatenate([np.zeros(3), t]))
+    ))
+    np.testing.assert_allclose(out[:3, 3], c2w[:3, 3] + c2w[:3, :3] @ t,
+                               atol=1e-6)
+    np.testing.assert_allclose(out[:3, :3], c2w[:3, :3], atol=1e-6)
+
+
+@pytest.mark.parametrize("inverse_y,flip_x,flip_y", [
+    (False, False, False), (True, False, False), (False, True, True),
+])
+def test_pixel_rays_matches_get_rays(inverse_y, flip_x, flip_y):
+    H, W = 7, 9
+    K = jnp.asarray([[11.0, 0, 4.2], [0, 10.0, 3.1], [0, 0, 1]])
+    from scipy.spatial.transform import Rotation
+
+    c2w = jnp.asarray(np.concatenate(
+        [Rotation.random(random_state=3).as_matrix(),
+         np.array([[0.3], [1.2], [-0.4]])], axis=1
+    ).astype(np.float32))
+    ro_full, rd_full, vd_full = ray_ops.get_rays_of_a_view(
+        H, W, K, c2w, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
+    )
+    rng = np.random.RandomState(4)
+    px = jnp.asarray(rng.randint(0, W, 20))
+    py = jnp.asarray(rng.randint(0, H, 20))
+    n = px.shape[0]
+    ro, rd, vd = pose_tune.pixel_rays(
+        jnp.broadcast_to(K, (n, 3, 3)), jnp.broadcast_to(c2w, (n, 3, 4)),
+        px, py, W, H, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
+    )
+    np.testing.assert_allclose(np.asarray(ro), np.asarray(ro_full)[py, px],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_full)[py, px],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vd_full)[py, px],
+                               rtol=1e-5, atol=1e-5)
+
+
+def _pose_errors(tuned, true):
+    """(max rotation angle deg, max center distance) across views."""
+    ang, dist = [], []
+    for a, b in zip(tuned, true):
+        Rrel = a[:3, :3].T @ b[:3, :3]
+        c = np.clip((np.trace(Rrel) - 1) / 2, -1, 1)
+        ang.append(np.degrees(np.arccos(c)))
+        dist.append(np.linalg.norm(a[:3, 3] - b[:3, 3]))
+    return float(np.max(ang)), float(np.max(dist))
+
+
+@pytest.mark.slow
+def test_tune_recovers_perturbed_poses():
+    """Train a small scene on TRUE poses, perturb them, and verify the tuner
+    pulls them back (rotation + translation errors shrink >3x)."""
+    from unboundednerfpytorch_tpu.configs.schema import (
+        DataConfig, ExpConfig, ModelRenderConfig, TrainStageConfig,
+    )
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.models import dvgo
+    from unboundednerfpytorch_tpu.train import loop
+
+    data = synthetic.make_data_dict(n_views=6, H=24, W=24)
+    cfg = ExpConfig(
+        data=DataConfig(white_bkgd=True),
+        coarse_train=dataclasses.replace(TrainStageConfig(), N_iters=0),
+        fine_train=TrainStageConfig(
+            N_iters=250, N_rand=1024, pervoxel_lr=False, pg_scale=(),
+            skip_zero_grad_fields=("density", "k0"),
+        ),
+        fine_model_and_render=ModelRenderConfig(
+            num_voxels_rgb=24**3, num_voxels_density=24**3,
+            num_voxels_base_rgb=24**3, num_voxels_base_density=24**3,
+            rgbnet_dim=6, rgbnet_width=24, rgbnet_depth=2,
+            alpha_init=1e-2, fast_color_thres=1e-4,
+            maskout_near_cam_vox=False,
+        ),
+    )
+    family, mcfg, params, _ = loop.run_train(cfg, data, log_fn=lambda *a: None)
+
+    i_train = np.asarray(data["i_train"])
+    true_poses = np.asarray(data["poses"])[i_train][:, :3, :4].astype(np.float32)
+    images = np.stack([np.asarray(data["images"][i]) for i in i_train])
+    Ks = np.asarray(data["Ks"])[i_train].astype(np.float32)
+
+    rng = np.random.RandomState(7)
+    perturb = np.concatenate(
+        [rng.randn(len(i_train), 3) * 0.02, rng.randn(len(i_train), 3) * 0.05],
+        axis=1,
+    ).astype(np.float32)
+    perturbed = np.asarray(pose_tune.apply_pose_delta(
+        jnp.asarray(true_poses), jnp.asarray(perturb)
+    ))
+    ang0, dist0 = _pose_errors(perturbed, true_poses)
+    assert ang0 > 0.5 and dist0 > 0.02  # the perturbation is material
+
+    def fwd(ro, rd, vd):
+        return dvgo.forward(params, mcfg, ro, rd, vd,
+                            near=1.0, stepsize=0.5, bg=1.0)
+
+    tuned, hist = pose_tune.tune_poses(
+        fwd, images, perturbed, Ks,
+        steps=600, lr=3e-3, n_rand=1024, log_fn=lambda *a: None,
+    )
+    ang1, dist1 = _pose_errors(tuned, true_poses)
+    # 300 steps at lr 2e-3 measured 2.32 deg -> 0.96 deg (2.4x); the gate
+    # asks for a solid recovery, not perfection at this blur level
+    assert ang1 < ang0 / 2.5, (ang0, ang1)
+    assert dist1 < dist0 / 2.5, (dist0, dist1)
+    assert hist["mse"][-1][1] < hist["mse"][0][1] / 2

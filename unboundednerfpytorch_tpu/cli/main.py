@@ -3,10 +3,10 @@
 Re-implements ``/root/reference/run_FourierGrid.py``: argparse surface,
 config load, seeding, block-count computation, and program dispatch
 (train | render | export_bbox | export_coarse | gen_trace | linemod_eval |
-sfm). ``sfm`` actually runs (COLMAP driver + poses_bounds.npy, the
-imgs2poses pipeline) where the reference raises NotImplementedError;
-``tune_pose`` stays accepted-but-unimplemented like the reference
-(run_FourierGrid.py:122-123).
+sfm | tune_pose). ``sfm`` actually runs (COLMAP driver + poses_bounds.npy,
+the imgs2poses pipeline) and ``tune_pose`` actually refines poses by
+backprop through the frozen model (train/pose_tune.py) — the reference
+accepts both but raises NotImplementedError (run_FourierGrid.py:122-123).
 """
 
 from __future__ import annotations
@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--pose_preds", default="",
                    help="linemod_eval: path to [N,3,4] predicted poses (.npy)")
+    p.add_argument("--tune_steps", type=int, default=400,
+                   help="tune_pose: optimization steps")
+    p.add_argument("--tune_lr", type=float, default=1e-3,
+                   help="tune_pose: Adam lr on the se(3) deltas")
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--sample_num", type=int, default=-1,
                    help="truncate dataset for fast debugging")
@@ -225,6 +229,15 @@ def main(argv=None) -> int:
             f"wrote camera paths to {out_dir} "
             f"({len(paths['combined'])} combined views) and trace to {out}"
         )
+        return 0
+    if args.program == "tune_pose":
+        # gradient-based camera-pose refinement against the trained model
+        # (train/pose_tune.py). The reference ACCEPTS this program but
+        # raises NotImplementedError (run_FourierGrid.py:122-123) even
+        # though its scripts/sfm_FourierGrid.sh invokes it.
+        from unboundednerfpytorch_tpu.train.pose_tune import run_tune_pose
+
+        run_tune_pose(args, cfg, data_dict, exp_dir)
         return 0
     raise NotImplementedError(f"program {args.program} is not implemented")
 
