@@ -101,3 +101,64 @@ fine_model_and_render = dict(
     main(["--config", cfg_path, "--program", "tune_pose", "--tune_steps", "5"])
     tuned = np.load(os.path.join(exp, "tuned_poses.npy"))
     assert tuned.shape == (6, 3, 4) and np.all(np.isfinite(tuned))
+
+
+@pytest.mark.slow
+def test_cli_export_baked_and_render_ft_path(blender_scene, tmp_path):
+    """train (FourierGrid) -> export_baked servable artifact -> render it
+    via --ft_path (the serving flow; reference has no equivalent)."""
+    from unboundednerfpytorch_tpu.cli.main import main
+
+    cfg_path = os.path.join(tmp_path, "scene_fg.py")
+    logs = os.path.join(tmp_path, "logs_fg")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+expname = 'cli_fg'
+basedir = {logs!r}
+model = 'FourierGrid'
+
+data = dict(
+    datadir={blender_scene!r},
+    dataset_type='blender',
+    white_bkgd=True,
+)
+
+coarse_train = dict(N_iters=0)
+
+fine_train = dict(
+    N_iters=30, N_rand=128, pervoxel_lr=False, pg_scale=[],
+    skip_zero_grad_fields=['density', 'k0'],
+)
+
+fine_model_and_render = dict(
+    num_voxels_rgb=16**3, num_voxels_density=16**3,
+    num_voxels_base_rgb=16**3, num_voxels_base_density=16**3,
+    rgbnet_dim=4, alpha_init=1e-2, fourier_freq_num=1,
+    maskout_near_cam_vox=False,
+)
+""")
+    rc = main(["--config", cfg_path, "--program", "train"])
+    assert rc == 0 or rc is None
+    exp = os.path.join(logs, "cli_fg")
+
+    rc = main(["--config", cfg_path, "--program", "export_baked",
+               "--bake_scale", "1.1"])
+    assert rc == 0
+    baked = os.path.join(exp, "baked_last")
+    assert os.path.exists(os.path.join(baked, "meta.json"))
+    with open(os.path.join(baked, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["model_kwargs"]["fourier_freq_num"] == 0  # single bank
+
+    rc = main(["--config", cfg_path, "--program", "render",
+               "--ft_path", baked, "--dump_images"])
+    assert rc == 0 or rc is None
+
+    # --ft_path into training: fine-tune from an explicit checkpoint
+    # (run_FourierGrid.py --ft_path semantics; wins over the implicit
+    # stage-last resume). Reload at step 30 >= N_iters -> trains 0 extra
+    # steps but must load and re-save cleanly.
+    fine = os.path.join(exp, "fine_last")
+    rc = main(["--config", cfg_path, "--program", "train",
+               "--ft_path", fine])
+    assert rc == 0 or rc is None

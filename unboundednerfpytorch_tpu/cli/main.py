@@ -33,6 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
             "linemod_eval",
             "sfm",
             "tune_pose",
+            "export_baked",
         ],
     )
     p.add_argument("--pose_preds", default="",
@@ -163,6 +164,7 @@ def main(argv=None) -> int:
             no_reload_optimizer=args.no_reload_optimizer,
             save_every=args.i_weights,
             grid_parallel=args.grid_parallel,
+            ft_path=args.ft_path,
         )
         ckpt.save_model(os.path.join(exp_dir, "fine_last"), family, mcfg, params)
         print(f"train finished: psnr {psnr:.2f}")
@@ -228,6 +230,29 @@ def main(argv=None) -> int:
         print(
             f"wrote camera paths to {out_dir} "
             f"({len(paths['combined'])} combined views) and trace to {out}"
+        )
+        return 0
+    if args.program == "export_baked":
+        # servable artifact: bake the 2K+1 Fourier banks into ONE grid and
+        # save it as a normal checkpoint — ship it without the training
+        # state and render with `--program render --ft_path <exp>/baked_last`
+        from unboundednerfpytorch_tpu.models import fourier_grid as fg
+        from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
+
+        path = os.path.join(exp_dir, "fine_last")
+        family, mcfg, params, step, _ = ckpt_mod.load_model(path)
+        if family != "FourierGrid" or mcfg.fourier_freq_num <= 0:
+            raise SystemExit(
+                "export_baked needs a trained FourierGrid model with "
+                f"Fourier banks (got {family})"
+            )
+        pb, cb = fg.bake_for_rendering(params, mcfg, scale=args.bake_scale)
+        out = os.path.join(exp_dir, "baked_last")
+        ckpt_mod.save_model(out, family, cb, pb, global_step=step)
+        print(
+            f"export_baked: wrote single-bank servable checkpoint to {out} "
+            f"(bake_scale {args.bake_scale}); render it with "
+            f"--program render --ft_path {out}"
         )
         return 0
     if args.program == "tune_pose":

@@ -23,7 +23,11 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
     merged = os.path.join(exp_dir, "fine_last_merged")
     block0 = os.path.join(exp_dir, "fine_last_0")
     path = os.path.join(exp_dir, "fine_last")
-    if os.path.exists(os.path.join(merged, "meta.json")):
+    if getattr(args, "ft_path", ""):
+        # explicit checkpoint (run_FourierGrid.py --ft_path) — also how a
+        # baked export (`--program export_baked`) is served
+        path = args.ft_path
+    elif os.path.exists(os.path.join(merged, "meta.json")):
         path = merged
     elif not os.path.exists(os.path.join(path, "meta.json")) and os.path.exists(
         os.path.join(block0, "meta.json")

@@ -252,6 +252,7 @@ def scene_rep_reconstruction(
     coarse_mask_fn=None,
     use_mesh: bool | None = None,
     grid_parallel: int = 1,
+    ft_path: str = "",
 ):
     """One training stage; returns (family, model config, trained params, psnr).
 
@@ -288,7 +289,11 @@ def scene_rep_reconstruction(
         import os
 
         os.makedirs(exp_dir, exist_ok=True)
-    if exp_dir and not no_reload:
+    if ft_path and not no_reload:
+        # explicit fine-tune checkpoint wins over the implicit stage-last
+        # (run_train.py:115-117)
+        reload_path = ft_path
+    elif exp_dir and not no_reload:
         import os
 
         cand = os.path.join(exp_dir, f"{stage}_last")
@@ -706,7 +711,8 @@ def run_train_blocks(
 def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
               exp_dir: str | None = None, no_reload: bool = False,
               no_reload_optimizer: bool = False, save_every: int = 0,
-              use_mesh: bool | None = None, grid_parallel: int = 1):
+              use_mesh: bool | None = None, grid_parallel: int = 1,
+              ft_path: str = ""):
     """Full two-stage recipe (run_train.py:336-398). Returns the fine model."""
     xyz_min_c, xyz_max_c = bbox_mod.compute_bbox_by_cam_frustrm(
         cfg, data_dict, model_family_name(cfg)
@@ -718,7 +724,7 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
             xyz_min_c, xyz_max_c, data_dict, stage="coarse",
             seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
             no_reload_optimizer=no_reload_optimizer, save_every=save_every,
-            use_mesh=use_mesh, grid_parallel=grid_parallel,
+            use_mesh=use_mesh, grid_parallel=grid_parallel, ft_path=ft_path,
         )
 
     if coarse_out is None or cfg.data.dataset_type == "waymo":
@@ -753,6 +759,6 @@ def run_train(cfg: ExpConfig, data_dict: dict, seed: int = 777, log_fn=print,
         seed=seed, log_fn=log_fn, exp_dir=exp_dir, no_reload=no_reload,
         no_reload_optimizer=no_reload_optimizer, save_every=save_every,
         coarse_mask_fn=coarse_mask, use_mesh=use_mesh,
-        grid_parallel=grid_parallel,
+        grid_parallel=grid_parallel, ft_path=ft_path,
     )
     return family, mcfg, params, psnr
