@@ -269,45 +269,67 @@ def main() -> None:
     baked_rays = H * W / baked_s
     _phase(f"baked: {baked_rays:.0f} rays/s ({baked_s:.2f} s/image)")
 
-    # --- 4c. OPT-IN: constant-baked executable on top of the density bake --
-    # (BENCH_CONST_BAKED=1) tables as compile-time constants — the
-    # `--constant_baked` video mode. Long per-scene compile (one-time with
-    # the persistent cache); excluded from the default driver run.
+    # --- 4c. OPT-IN: constant-baked executables (BENCH_CONST_BAKED) -------
+    # tables as compile-time constants — the `--constant_baked` video mode.
+    # Long per-scene compile (one-time with the persistent cache); excluded
+    # from the default driver run. Values: "baked" = constants on top of
+    # the density bake, "exact" = constants on the exact two-stage tables,
+    # "both", or "1" (= baked).
     const_detail = None
-    if os.environ.get("BENCH_CONST_BAKED"):
+    const_mode = os.environ.get("BENCH_CONST_BAKED", "")
+    if const_mode:
         from unboundednerfpytorch_tpu.utils import compile_cache
 
         compile_cache.enable_persistent_compilation_cache()
+        const_detail = {}
+        variants = {"1": ["baked"], "baked": ["baked"], "exact": ["exact"],
+                    "both": ["baked", "exact"]}[const_mode]
+        if "exact" in variants:
+            if "baked" not in variants:
+                # free the baked tables first — two caches + constants
+                # do not fit a 16GB chip
+                del aux_b, cache_b
+                gc.collect()
+                cache_b = None
+            # rebuild the exact cache (freed after 4a to fit HBM)
+            cache_x = fg.build_render_cache(params, cfg)
+            jax.block_until_ready(cache_x)
+        for variant in variants:
+            v_cfg = cfg_b if variant == "baked" else cfg
+            v_cache = cache_b if variant == "baked" else cache_x
 
-        def forward_const(ro, rd, vd):
-            return fg.forward(params, cfg_b, ro, rd, vd, bg=1.0, cache=cache_b)
+            def forward_const(ro, rd, vd, _c=v_cfg, _t=v_cache):
+                return fg.forward(params, _c, ro, rd, vd, bg=1.0, cache=_t)
 
-        t0 = time.perf_counter()
-        img_c = renderer.render_image(
-            forward_const, H, W, K800, pose_w[:3, :4]
-        )[0]
-        compile_s = time.perf_counter() - t0
-        mse_c = float(np.mean((img_exact - img_c) ** 2))
-        _phase(
-            f"const-baked warm render done in {compile_s:.0f}s; PSNR vs "
-            f"exact = {-10.0 * np.log10(max(mse_c, 1e-12)):.1f} dB"
-        )
-        run_const = lambda h, w, k, p, a: renderer.render_image(
-            forward_const, h, w, k, p
-        )
-        const_s = timed_renders(run_const, None, 1.51)
-        const_rays = H * W / const_s
-        const_detail = {
-            "const_baked_rays_per_s": round(const_rays, 1),
-            "const_baked_vs_baseline": round(
-                const_rays / REFERENCE_RAYS_PER_S, 3
-            ),
-            "const_baked_psnr_vs_exact_db": round(
-                -10.0 * np.log10(max(mse_c, 1e-12)), 2
-            ),
-            "const_baked_compile_s": round(compile_s, 1),
-        }
-        _phase(f"const-baked: {const_rays:.0f} rays/s ({const_s:.2f} s/image)")
+            t0 = time.perf_counter()
+            img_c = renderer.render_image(
+                forward_const, H, W, K800, pose_w[:3, :4]
+            )[0]
+            compile_s = time.perf_counter() - t0
+            mse_c = float(np.mean((img_exact - img_c) ** 2))
+            psnr_c = -10.0 * np.log10(max(mse_c, 1e-12))
+            _phase(
+                f"const-{variant} warm render done in {compile_s:.0f}s; "
+                f"PSNR vs exact = {psnr_c:.1f} dB"
+            )
+            run_const = lambda h, w, k, p, a: renderer.render_image(
+                forward_const, h, w, k, p
+            )
+            const_s = timed_renders(run_const, None, 1.51)
+            const_rays = H * W / const_s
+            key_p = f"const_{variant}"
+            const_detail.update({
+                f"{key_p}_rays_per_s": round(const_rays, 1),
+                f"{key_p}_vs_baseline": round(
+                    const_rays / REFERENCE_RAYS_PER_S, 3
+                ),
+                f"{key_p}_psnr_vs_exact_db": round(psnr_c, 2),
+                f"{key_p}_compile_s": round(compile_s, 1),
+            })
+            _phase(
+                f"const-{variant}: {const_rays:.0f} rays/s "
+                f"({const_s:.2f} s/image)"
+            )
 
     print(
         json.dumps(

@@ -1,17 +1,19 @@
-"""Probe: where the production train step's time goes at the flagship
-config (160^3 / 7-bank / rgbnet-12, 2048 rays, budget 96).
+"""Probe: where the production train step's time goes (flagship-shaped
+7-bank / rgbnet-12 model, 2048 rays, budget 96 — at 128^3: the 160^3
+no-donation variants do not fit one 16GB chip, and the fwd/bwd/adam RATIO
+is what this probe is for).
 
-Round-3 ablation (ROADMAP): fwd 86 ms, fwd+bwd+masked-Adam 319 ms, +TV
-(Pallas) ~383 ms expected. This probe splits bwd from the optimizer:
-  a) forward (loss value only)
-  b) value_and_grad
-  c) value_and_grad + masked Adam update
-  d) full production step (make_train_step, fused TV)
+All variants are measured the same way: a donated state chained through a
+host loop (the axon relay memoizes identical dispatches and adds variance
+to same-args timing, so every phase must thread fresh state):
+  a) forward only        (state -> state, loss folded into a param nudge)
+  b) + backward          (SGD: p - 1e-8 * grad)
+  c) + masked Adam       (full optimizer, f32 moments)
+  d) full production step (make_train_step: + fused Pallas TV, schedules)
 Run serially with nothing else on the TPU: python tools/probe_step_breakdown.py
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import sys
 import time
@@ -37,15 +39,14 @@ ITERS = 10
 
 def main():
     mr = ModelRenderConfig(
-        num_voxels_rgb=160**3, num_voxels_density=160**3,
-        num_voxels_base_rgb=160**3, num_voxels_base_density=160**3,
+        num_voxels_rgb=128**3, num_voxels_density=128**3,
+        num_voxels_base_rgb=128**3, num_voxels_base_density=128**3,
         rgbnet_dim=12, alpha_init=1e-4, fast_color_thres=1e-4,
         fourier_freq_num=3, bg_len=0.2, stepsize=1.0,
         grid_dtype="bfloat16", sample_budget=96, budget_probe_stride=2,
         color_budget=32,
     )
-    cfg = fg.config_from(mr, (-3, -3, -3), (3, 3, 3), 160**3, 160**3)
-    params = fg.create(cfg, jax.random.PRNGKey(0))
+    cfg = fg.config_from(mr, (-3, -3, -3), (3, 3, 3), 128**3, 128**3)
     tcfg = TrainStageConfig(
         N_iters=1, N_rand=N, pervoxel_lr=False,
         weight_entropy_last=1e-3, weight_rgbper=1e-2,
@@ -65,10 +66,8 @@ def main():
     def fwd(p, ro, rd, vd, key=None, img_index=None):
         return fg.forward(p, cfg, ro, rd, vd, bg=1.0)
 
-    trainable, hyper = factory.split_trainable(params, tcfg)
-
-    def loss_fn(tr, batch):
-        merged = factory.merge_trainable(params, tr)
+    def loss_fn(tr, frozen, batch):
+        merged = factory.merge_trainable(frozen, tr)
         res = fwd(merged, batch["rays_o"], batch["rays_d"], batch["viewdirs"])
         loss = L.mse(res.rgb_marched, batch["rgb"])
         loss = loss + 1e-3 * L.entropy_last(res.alphainv_last)
@@ -77,32 +76,56 @@ def main():
         )
         return loss
 
-    def timeit(f, *args, chain_idx=None):
-        """Chained timing through fori-style host loop with one final fetch;
-        first call compiles."""
-        out = f(*args)
-        jax.block_until_ready(out)
+    def timeit_state(step_fn, make_state):
+        """Chained donated-state host loop; one scalar fetch at the end."""
+        st = make_state()
+        jstep = jax.jit(step_fn, donate_argnums=(0,))
+        st = jstep(st, batch)
+        jax.block_until_ready(jax.tree.leaves(st)[0])
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out = f(*args)
-        jax.block_until_ready(out)
-        leaf = jax.tree.leaves(out)[0]
+            st = jstep(st, batch)
+        jax.block_until_ready(jax.tree.leaves(st)[0])
+        leaf = jax.tree.leaves(st)[0]
         float(jnp.asarray(leaf).reshape(-1)[0])
-        return (time.perf_counter() - t0) / ITERS
+        dt = (time.perf_counter() - t0) / ITERS
+        del st, jstep
+        jax.clear_caches()
+        import gc
+        gc.collect()
+        return dt
 
-    a = timeit(jax.jit(lambda tr, b: loss_fn(tr, b)), trainable, batch)
-    print(f"a) forward-only loss:        {a*1e3:7.1f} ms", flush=True)
+    def fresh_params():
+        return fg.create(cfg, jax.random.PRNGKey(0))
 
-    vg = jax.jit(lambda tr, b: jax.value_and_grad(loss_fn)(tr, b))
-    b = timeit(vg, trainable, batch)
-    print(f"b) value_and_grad:           {b*1e3:7.1f} ms (bwd ~{(b-a)*1e3:.0f})",
+    # a) forward only: nudge one param by the loss so nothing folds away
+    def fwd_step(st, bt):
+        tr, _ = factory.split_trainable(st.params, tcfg)
+        loss = loss_fn(tr, st.params, bt)
+        dg = st.params.density
+        return st.replace(params=st.params.replace(
+            density=dg.replace(grid=dg.grid + loss.astype(dg.grid.dtype) * 0)
+        ))
+
+    a = timeit_state(fwd_step, lambda: create_train_state(fresh_params(), tcfg))
+    print(f"a) forward only:             {a*1e3:7.1f} ms", flush=True)
+
+    # b) + backward (SGD consume)
+    def sgd_step(st, bt):
+        tr, _ = factory.split_trainable(st.params, tcfg)
+        grads = jax.grad(loss_fn)(tr, st.params, bt)
+        new_tr = jax.tree.map(lambda p, g: p - 1e-8 * g.astype(p.dtype),
+                              tr, grads)
+        return st.replace(params=factory.merge_trainable(st.params, new_tr))
+
+    b = timeit_state(sgd_step, lambda: create_train_state(fresh_params(), tcfg))
+    print(f"b) + backward (sgd):         {b*1e3:7.1f} ms (bwd ~{(b-a)*1e3:.0f})",
           flush=True)
 
-    state = create_train_state(params, tcfg)
-
-    def vg_adam(st, bt):
+    # c) + masked Adam
+    def adam_step(st, bt):
         tr, hy = factory.split_trainable(st.params, tcfg)
-        loss, grads = jax.value_and_grad(loss_fn)(tr, bt)
+        grads = jax.grad(loss_fn)(tr, st.params, bt)
         new_tr, new_opt = masked_adam.update(
             tr, grads, st.opt_state, hy, lr_scale=1.0, per_lr=st.per_lr
         )
@@ -111,34 +134,21 @@ def main():
             opt_state=new_opt,
         )
 
-    jc = jax.jit(vg_adam, donate_argnums=(0,))
-    st = jc(state, batch)
-    jax.block_until_ready(jax.tree.leaves(st)[0])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        st = jc(st, batch)
-    jax.block_until_ready(jax.tree.leaves(st)[0])
-    c = (time.perf_counter() - t0) / ITERS
+    c = timeit_state(adam_step, lambda: create_train_state(fresh_params(), tcfg))
     print(f"c) + masked Adam:            {c*1e3:7.1f} ms (adam ~{(c-b)*1e3:.0f})",
           flush=True)
 
+    # d) full production step (fused Pallas TV on TPU)
     tv_fused = None
     if jax.default_backend() == "tpu":
         from unboundednerfpytorch_tpu.ops.pallas import tv as ptv
         tv_fused = ptv.make_tv_fused()
-    step = make_train_step(
+    core = make_train_step(
         fwd, tcfg, world_size_max=float(max(cfg.world_size)),
         donate=True, tv_fused=tv_fused,
     )
-    jstep = jax.jit(step, donate_argnums=(0,))
-    st = create_train_state(params, tcfg)
-    st, m = jstep(st, batch, key)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        st, m = jstep(st, batch, key)
-    jax.block_until_ready(m["loss"])
-    d = (time.perf_counter() - t0) / ITERS
+    d = timeit_state(lambda st, bt: core(st, bt, key)[0],
+                     lambda: create_train_state(fresh_params(), tcfg))
     print(f"d) full step (fused TV):     {d*1e3:7.1f} ms (tv+misc ~{(d-c)*1e3:.0f})",
           flush=True)
 
