@@ -59,3 +59,10 @@ fine_model_and_render = dict(
     viewbase_pe=2,
     maskout_near_cam_vox=False,
 )
+
+# diffusion-image replacement table for --diffuse
+# (reference waymo_no_block.py:119-122)
+diffusion = dict(
+    diff_root='diffusion',
+    diff_replace={'69_0': 'airplane'},
+)

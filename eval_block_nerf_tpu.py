@@ -78,8 +78,10 @@ def main(argv=None) -> int:
         frames.append(rgb["compose"])
         print(f"{name}: composed from {list(rgb.keys())[:-1]}")
     if frames:
-        imageio.mimwrite(os.path.join(args.out_dir, "compose.mp4"),
-                         np.stack(frames), fps=10, quality=8)
+        from unboundednerfpytorch_tpu.render import write_video
+
+        write_video(os.path.join(args.out_dir, "compose.mp4"),
+                    np.stack(frames), fps=10)
     return 0
 
 

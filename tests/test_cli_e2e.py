@@ -102,6 +102,29 @@ fine_model_and_render = dict(
     tuned = np.load(os.path.join(exp, "tuned_poses.npy"))
     assert tuned.shape == (6, 3, 4) and np.all(np.isfinite(tuned))
 
+    # explicit export output paths (run_export_{bbox,coarse}.py:14/19)
+    alt_cam = os.path.join(str(tmp_path), "alt_cam.npz")
+    main(["--config", cfg_path, "--program", "export_bbox",
+          "--export_bbox_and_cams_only", alt_cam])
+    assert os.path.exists(alt_cam)
+    alt_vol = os.path.join(str(tmp_path), "alt_vol.npz")
+    main(["--config", cfg_path, "--program", "export_coarse",
+          "--export_coarse_only", alt_vol])
+    assert os.path.exists(alt_vol)
+
+    # --render_only alias + fast-preview factor + flipy/rot90 video post;
+    # the video write falls back to a PNG frame dir without an ffmpeg backend
+    main(["--config", cfg_path, "--render_only", "--render_video",
+          "--render_video_factor", "2", "--render_video_flipy",
+          "--render_video_rot90", "1"])
+    assert (os.path.exists(os.path.join(exp, "render_video.mp4"))
+            or os.listdir(os.path.join(exp, "render_video_frames")))
+
+    # --save_train_imgs dumps the training split to the exp folder
+    main(["--config", cfg_path, "--program", "export_bbox",
+          "--save_train_imgs"])
+    assert len(os.listdir(os.path.join(exp, "train_imgs"))) == 6
+
 
 @pytest.mark.slow
 def test_cli_export_baked_and_render_ft_path(blender_scene, tmp_path):

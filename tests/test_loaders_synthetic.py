@@ -140,3 +140,34 @@ def test_train_resume_from_checkpoint(tmp_path):
     msgs = []
     loop.run_train(cfg, data, log_fn=msgs.append, exp_dir=exp)
     assert any("resumed" in m for m in msgs)
+
+
+def test_waymo_overrides_and_diffuse(tmp_path):
+    """DataConfig near/far/near_clip overrides thread through load_everything
+    (waymo_no_block.py:12-14), and --diffuse swaps training images for the
+    config's diffusion replacements (load_waymo.py:287-293)."""
+    from unboundednerfpytorch_tpu.configs.schema import DataConfig, ExpConfig
+    from unboundednerfpytorch_tpu.data.common import load_everything
+
+    root = str(tmp_path)
+    _make_waymo_fixture(root)
+    # a solid-color replacement image under diffusion/
+    os.makedirs(os.path.join(root, "diffusion"))
+    _write_png(os.path.join(root, "diffusion", "airplane.png"),
+               np.full((8, 10, 3), 200, np.uint8))
+
+    cfg = ExpConfig(
+        data=DataConfig(dataset_type="waymo", datadir=root,
+                        near=0.5, far=2.0, near_clip=0.3),
+        diffusion=(("diff_root", os.path.join(root, "diffusion")),
+                   ("diff_replace", (("train000", "airplane"),))),
+    )
+    d = load_everything(cfg)
+    assert d["near"] == 0.5 and d["far"] == 2.0 and d["near_clip"] == 0.3
+
+    d2 = load_everything(cfg, diffuse=True)
+    # train image 0 became the solid replacement; without diffuse it is noise
+    img0 = np.asarray(d2["images"][d2["i_train"][0]])
+    assert np.allclose(img0, 200 / 255.0, atol=1e-2)
+    img0_plain = np.asarray(d["images"][d["i_train"][0]])
+    assert not np.allclose(img0_plain, 200 / 255.0, atol=1e-2)

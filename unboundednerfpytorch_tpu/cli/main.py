@@ -59,11 +59,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ft_path", default="")
     p.add_argument("--export_cam", action="store_true")
     p.add_argument("--export_geometry", action="store_true")
+    p.add_argument("--export_bbox_and_cams_only", default="",
+                   help="output path for --program export_bbox "
+                        "(run_export_bbox.py:14)")
+    p.add_argument("--export_coarse_only", default="",
+                   help="output path for --program export_coarse "
+                        "(run_export_coarse.py:19)")
+    p.add_argument("--save_train_imgs", action="store_true",
+                   help="dump the training images into the exp folder")
+    p.add_argument("--diffuse", action="store_true",
+                   help="swap training images for diffusion-generated "
+                        "replacements per the config's `diffusion` dict "
+                        "(load_waymo.py:287-293)")
+    p.add_argument("--render_only", action="store_true",
+                   help="do not optimize; reload weights and render "
+                        "(run_FourierGrid.py:45) — alias for --program render")
     p.add_argument("--render_train", action="store_true")
     p.add_argument("--render_test", action="store_true")
     p.add_argument("--render_video", action="store_true")
+    p.add_argument("--render_video_flipy", action="store_true")
+    p.add_argument("--render_video_rot90", type=int, default=0)
+    p.add_argument("--render_video_factor", type=float, default=0,
+                   help="downsampling factor for fast render previews "
+                        "(4 or 8); GT metrics are skipped")
     p.add_argument("--eval_ssim", action="store_true", default=True)
-    p.add_argument("--eval_lpips", action="store_true")
+    p.add_argument("--eval_lpips", "--eval_lpips_alex", dest="eval_lpips",
+                   action="store_true",
+                   help="LPIPS (AlexNet) eval; reference --eval_lpips_alex")
+    p.add_argument("--eval_lpips_vgg", action="store_true",
+                   help="LPIPS (VGG) eval")
     p.add_argument("--i_print", type=int, default=500)
     p.add_argument("--i_weights", type=int, default=0,
                    help="periodic checkpoint cadence in steps (0 = stage end only)")
@@ -93,6 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.render_only:
+        args.program = "render"  # run_FourierGrid.py:45 semantics
 
     from unboundednerfpytorch_tpu.configs.loader import load_config
     from unboundednerfpytorch_tpu.data.common import load_everything
@@ -126,7 +152,8 @@ def main(argv=None) -> int:
         print(f"sfm: wrote {os.path.join(cfg.data.datadir, 'poses_bounds.npy')}")
         return 0
 
-    data_dict = load_everything(cfg, sample_num=args.sample_num)
+    data_dict = load_everything(cfg, sample_num=args.sample_num,
+                                diffuse=args.diffuse)
 
     # block count (run_FourierGrid.py:101-103)
     block_num = 1
@@ -138,6 +165,23 @@ def main(argv=None) -> int:
     with open(os.path.join(exp_dir, "args.txt"), "w") as f:
         for k in sorted(vars(args)):
             f.write(f"{k} = {getattr(args, k)}\n")
+
+    if args.save_train_imgs and data_dict.get("images") is not None:
+        # dump the (possibly resized/diffuse-swapped) training images
+        # (load_waymo.py:338 save_training_imgs_to_disk)
+        import imageio.v2 as imageio
+
+        outdir = os.path.join(exp_dir, "train_imgs")
+        os.makedirs(outdir, exist_ok=True)
+        images = data_dict["images"]
+        for i in np.asarray(data_dict["i_train"]):
+            imageio.imwrite(
+                os.path.join(outdir, f"{int(i):04d}.png"),
+                (np.clip(np.asarray(images[int(i)]), 0, 1) * 255).astype(
+                    np.uint8
+                ),
+            )
+        print(f"saved {len(data_dict['i_train'])} training images to {outdir}")
 
     if args.program == "train":
         from unboundednerfpytorch_tpu.train import loop
@@ -182,7 +226,9 @@ def main(argv=None) -> int:
         xyz_min, xyz_max = bbox_mod.compute_bbox_by_cam_frustrm(
             cfg, data_dict, model_family_name(cfg)
         )
-        out = os.path.join(exp_dir, "cam.npz")
+        out = args.export_bbox_and_cams_only or os.path.join(
+            exp_dir, "cam.npz"
+        )
         np.savez_compressed(
             out,
             xyz_min=np.asarray(xyz_min),
@@ -194,7 +240,8 @@ def main(argv=None) -> int:
     if args.program == "export_coarse":
         from unboundednerfpytorch_tpu.render import export_coarse_geometry
 
-        export_coarse_geometry(cfg, exp_dir)
+        export_coarse_geometry(cfg, exp_dir,
+                               out_path=args.export_coarse_only)
         return 0
     if args.program == "linemod_eval":
         from unboundednerfpytorch_tpu.utils import pose_eval

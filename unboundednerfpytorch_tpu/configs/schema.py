@@ -175,6 +175,9 @@ class ExpConfig:
             skip_zero_grad_fields=("density", "k0"),
         )
     )
+    # diffusion-image replacement table for --diffuse (waymo_no_block.py:119:
+    # dict(diff_root=..., diff_replace={stem: replacement_stem})), frozen
+    diffusion: tuple = ()
     coarse_model_and_render: ModelRenderConfig = field(default_factory=ModelRenderConfig)
     fine_model_and_render: ModelRenderConfig = field(
         default_factory=lambda: ModelRenderConfig(
@@ -274,4 +277,6 @@ def exp_config_from_dict(d: dict) -> ExpConfig:
     for key in ("expname", "basedir", "model"):
         if key in d:
             kwargs[key] = d[key]
+    if "diffusion" in d:
+        kwargs["diffusion"] = _freeze(d["diffusion"])
     return ExpConfig(**kwargs)

@@ -257,22 +257,40 @@ def load_common_data(data_cfg: DataConfig) -> dict:
     )
 
 
-def load_everything(cfg: ExpConfig, sample_num: int = -1) -> dict:
+def load_everything(cfg: ExpConfig, sample_num: int = -1,
+                    diffuse: bool = False) -> dict:
     """Top-level data hub (load_everything.py:9-38): route to the waymo/mega
-    loaders or the common loader and trim to the data_dict contract."""
+    loaders or the common loader and trim to the data_dict contract.
+
+    ``diffuse``: swap training images for their diffusion-generated
+    replacements per the scene config's ``diffusion`` dict (the reference's
+    ``--diffuse`` flag, load_waymo.py:287-293; waymo only)."""
     d = cfg.data
     if d.dataset_type == "waymo":
         from unboundednerfpytorch_tpu.data.waymo import load_waymo_data
 
+        diffusion = dict(getattr(cfg, "diffusion", ()) or ())
         data_dict = load_waymo_data(
             d.datadir,
             training_ids=list(d.training_ids) or None,
             sample_num=sample_num,
+            sample_cam=(d.sample_cam if d.sample_cam >= 0 else None),
+            sample_interval=d.sample_interval,
+            test_rotate_angle=d.test_rotate_angle,
+            near=d.near, far=d.far, near_clip=d.near_clip,
+            diffuse_map=(dict(diffusion.get("diff_replace", ()) or ())
+                         if diffuse else None),
+            diff_root=str(diffusion.get("diff_root", "diffusion")),
         )
     elif d.dataset_type == "mega":
         from unboundednerfpytorch_tpu.data.mega import load_mega_data
 
-        data_dict = load_mega_data(d.datadir, sample_num=sample_num)
+        data_dict = load_mega_data(
+            d.datadir, sample_num=sample_num,
+            sample_cam=(d.sample_cam if d.sample_cam >= 0 else None),
+            sample_interval=d.sample_interval,
+            near=d.near, far=d.far, near_clip=d.near_clip,
+        )
     else:
         data_dict = load_common_data(d)
 

@@ -192,8 +192,14 @@ def load_waymo_data(
     near: float | None = None,
     far: float | None = None,
     near_clip: float | None = None,
+    diffuse_map: dict | None = None,
+    diff_root: str = "diffusion",
 ) -> dict:
-    """Full waymo data_dict (load_waymo.py:263-405)."""
+    """Full waymo data_dict (load_waymo.py:263-405).
+
+    ``diffuse_map``: {image_stem: replacement_stem} — swap training images
+    for diffusion-generated replacements under ``diff_root`` (the
+    reference's --diffuse flag, load_waymo.py:287-293)."""
     with open(os.path.join(datadir, "metadata.json")) as fp:
         metadata = json.load(fp)
     if sample_cam is not None:
@@ -203,6 +209,12 @@ def load_waymo_data(
     metadata = sort_metadata_by_pos(metadata)
     metadata = sample_metadata_by_idxs(metadata, sample_idxs)
     metadata = sample_metadata_by_training_ids(metadata, training_ids)
+    if diffuse_map:
+        fps = metadata["train"]["file_path"]
+        for idx, fp in enumerate(fps):
+            stem = os.path.basename(fp).replace(".png", "")
+            if stem in diffuse_map:
+                fps[idx] = os.path.join(diff_root, diffuse_map[stem] + ".png")
 
     tr, val = metadata["train"], metadata["val"]
     tr_c2w, val_c2w = tr["cam2world"], val["cam2world"]

@@ -7,6 +7,32 @@ from unboundednerfpytorch_tpu.render.renderer import (
 )
 
 
+def write_video(path: str, frames, fps: int = 30) -> str:
+    """mp4 via imageio-ffmpeg, falling back to a PNG frame directory when no
+    video backend is available (a long render must never die at the final
+    write). Returns the artifact path actually written."""
+    import os
+
+    import numpy as np
+
+    frames = np.asarray(frames)
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(path, frames, fps=fps, quality=8)
+        return path
+    except Exception as e:  # noqa: BLE001 — missing ffmpeg/pyav backend
+        import imageio.v2 as imageio
+
+        outdir = os.path.splitext(path)[0] + "_frames"
+        os.makedirs(outdir, exist_ok=True)
+        for i, f in enumerate(frames):
+            imageio.imwrite(os.path.join(outdir, f"{i:04d}.png"), f)
+        print(f"video backend unavailable ({type(e).__name__}); wrote "
+              f"{len(frames)} frames to {outdir} instead of {path}")
+        return outdir
+
+
 def run_render(args, cfg, data_dict, exp_dir: str) -> None:
     """Post-train render program (run_render.py:117-316): load fine_last,
     render train/test/video splits, dump pngs + metrics."""
@@ -133,9 +159,18 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             inverse_y=cfg.data.inverse_y,
             flip_x=cfg.data.flip_x,
             flip_y=cfg.data.flip_y,
-            eval_lpips=getattr(args, "eval_lpips", False),
+            eval_lpips=(getattr(args, "eval_lpips", False)
+                        or getattr(args, "eval_lpips_vgg", False)),
+            lpips_net=("vgg" if getattr(args, "eval_lpips_vgg", False)
+                       else "alex"),
             aux=aux,
             mesh=mesh,
+            render_factor=(getattr(args, "render_video_factor", 0)
+                           if name == "video" else 0),
+            render_video_flipy=(getattr(args, "render_video_flipy", False)
+                                if name == "video" else False),
+            render_video_rot90=(getattr(args, "render_video_rot90", 0)
+                                if name == "video" else 0),
         )
         rgbs = out["rgbs"]
         if stylizer is not None and len(rgbs):
@@ -154,16 +189,12 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
                     depth_to_vis(out["depths"][i]),
                 )
         if name == "video" and len(rgbs):
-            import imageio.v2 as imageio
-
-            imageio.mimwrite(
-                os.path.join(exp_dir, "render_video.mp4"),
-                M.to8b(rgbs), fps=30, quality=8,
+            write_video(
+                os.path.join(exp_dir, "render_video.mp4"), M.to8b(rgbs)
             )
-            imageio.mimwrite(
+            write_video(
                 os.path.join(exp_dir, "render_video_depth.mp4"),
                 np.stack([depth_to_vis(d) for d in out["depths"]]),
-                fps=30, quality=8,
             )
         if out["psnrs"]:
             print(f"{name}: psnr {np.mean(out['psnrs']):.2f}")
@@ -224,19 +255,17 @@ def run_render_blocks(args, cfg, data_dict, exp_dir: str) -> None:
         psnrs.extend(out["psnrs"])
         print(f"block {b}: rendered {len(idx)} views")
     if all_rgbs:
-        import imageio.v2 as imageio
-
         video = np.concatenate(all_rgbs)
-        imageio.mimwrite(
-            os.path.join(exp_dir, "render_blocks.mp4"), M.to8b(video),
-            fps=15, quality=8,
+        write_video(
+            os.path.join(exp_dir, "render_blocks.mp4"), M.to8b(video), fps=15
         )
         if psnrs:
             print(f"blocks: psnr {np.mean(psnrs):.2f}")
 
 
-def export_coarse_geometry(cfg, exp_dir: str) -> None:
-    """Coarse alpha/rgb volume export (run_export_coarse.py:7-20)."""
+def export_coarse_geometry(cfg, exp_dir: str, out_path: str = "") -> None:
+    """Coarse alpha/rgb volume export (run_export_coarse.py:7-20);
+    ``out_path`` overrides the default location (run_export_coarse.py:19)."""
     import os
 
     import numpy as np
@@ -258,7 +287,7 @@ def export_coarse_geometry(cfg, exp_dir: str) -> None:
     rgb = np.asarray(jax.nn.sigmoid(params.k0.get_dense_grid()))
     if rgb.ndim == 5:
         rgb = rgb.mean(0)
-    out = os.path.join(exp_dir, "coarse_volume.npz")
+    out = out_path or os.path.join(exp_dir, "coarse_volume.npz")
     np.savez_compressed(out, alpha=alpha, rgb=rgb[..., :3])
     print(f"exported coarse geometry to {out}")
 

@@ -211,15 +211,31 @@ def render_viewpoints(
     chunk: int = DEFAULT_CHUNK,
     eval_ssim: bool = True,
     eval_lpips: bool = False,
+    lpips_net: str = "alex",
     verbose: bool = True,
     log_fn=print,
     aux=None,
     mesh=None,
+    render_factor: float = 0,
+    render_video_flipy: bool = False,
+    render_video_rot90: int = 0,
 ):
     """Render a split of poses and (optionally) evaluate vs ground truth.
 
+    ``render_factor``: downsample H/W/K by this factor for fast previews
+    (run_render.py:35-41); GT metrics are skipped (sizes differ).
+    ``render_video_flipy`` / ``render_video_rot90``: post-transforms of the
+    rendered stack (run_render.py:93-103).
+
     Returns dict(rgbs, depths, bgmaps, psnrs, ssims, lpips).
     """
+    HW = np.asarray(HW)
+    Ks = np.asarray(Ks, np.float64)
+    if render_factor:
+        HW = (HW / render_factor).astype(int)
+        Ks = Ks.copy()
+        Ks[:, :2, :3] /= render_factor
+        gt_imgs = None
     rgbs, depths, bgmaps = [], [], []
     psnrs, ssims, lpips_vals = [], [], []
     for i, c2w in enumerate(np.asarray(poses)):
@@ -240,9 +256,18 @@ def render_viewpoints(
                 ssims.append(M.rgb_ssim(rgb, gt, max_val=1.0))
             if eval_lpips:
                 try:
-                    lpips_vals.append(M.rgb_lpips(gt, rgb))
+                    lpips_vals.append(M.rgb_lpips(gt, rgb, net_name=lpips_net))
                 except ImportError:
                     pass
+    if render_video_flipy:
+        rgbs = [r[::-1] for r in rgbs]
+        depths = [d[::-1] for d in depths]
+        bgmaps = [b[::-1] for b in bgmaps]
+    if render_video_rot90:
+        k = int(render_video_rot90)
+        rgbs = [np.rot90(r, k=k, axes=(0, 1)) for r in rgbs]
+        depths = [np.rot90(d, k=k, axes=(0, 1)) for d in depths]
+        bgmaps = [np.rot90(b, k=k, axes=(0, 1)) for b in bgmaps]
     if gt_imgs is not None and verbose:
         log_fn(f"render eval: psnr {np.mean(psnrs):.2f}")
         if ssims:

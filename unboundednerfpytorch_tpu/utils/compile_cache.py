@@ -35,6 +35,16 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> str | N
     try:
         import jax
 
+        # Not for explicit-CPU runs: the cache exists for the multi-GB
+        # constant-baked TPU executables, while XLA:CPU AOT cache entries
+        # are machine-feature-pinned and reload with "could lead to SIGILL"
+        # warnings even on the same host. Checked via the DECLARED platform
+        # (jax.default_backend() would initialize backends before
+        # jax.distributed.initialize in multi-host launches).
+        plats = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", "") or "")
+        if plats.split(",")[0].strip().lower() == "cpu":
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took noticeable compile time; the multi-GB
