@@ -55,7 +55,22 @@ TIMED_TRAIN_STEPS = 10
 H = W = 800
 
 
+def _const_variants(mode: str) -> list:
+    """Validate BENCH_CONST_BAKED early — an invalid value must fail BEFORE
+    the expensive train/render phases, not KeyError after them."""
+    table = {"1": ["baked"], "baked": ["baked"], "exact": ["exact"],
+             "both": ["baked", "exact"]}
+    if mode not in table:
+        raise SystemExit(
+            f"BENCH_CONST_BAKED must be one of {sorted(table)}; got {mode!r}"
+        )
+    return table[mode]
+
+
 def main() -> None:
+    if os.environ.get("BENCH_CONST_BAKED", ""):
+        _const_variants(os.environ["BENCH_CONST_BAKED"])  # fail fast
+
     import numpy as np
 
     import jax
@@ -282,19 +297,18 @@ def main() -> None:
 
         compile_cache.enable_persistent_compilation_cache()
         const_detail = {}
-        variants = {"1": ["baked"], "baked": ["baked"], "exact": ["exact"],
-                    "both": ["baked", "exact"]}[const_mode]
-        if "exact" in variants:
-            if "baked" not in variants:
-                # free the baked tables first — two caches + constants
-                # do not fit a 16GB chip
+        variants = _const_variants(const_mode)
+        cache_x = None
+        for variant in variants:
+            if variant == "exact":
+                # the baked tables must go first — two caches + the
+                # compile-time-constant copies do not fit a 16GB chip
                 del aux_b, cache_b
                 gc.collect()
                 cache_b = None
-            # rebuild the exact cache (freed after 4a to fit HBM)
-            cache_x = fg.build_render_cache(params, cfg)
-            jax.block_until_ready(cache_x)
-        for variant in variants:
+                # rebuild the exact cache (freed after 4a to fit HBM)
+                cache_x = fg.build_render_cache(params, cfg)
+                jax.block_until_ready(cache_x)
             v_cfg = cfg_b if variant == "baked" else cfg
             v_cache = cache_b if variant == "baked" else cache_x
 

@@ -147,10 +147,11 @@ def test_tune_recovers_perturbed_poses():
         return dvgo.forward(params, mcfg, ro, rd, vd,
                             near=1.0, stepsize=0.5, bg=1.0)
 
-    tuned, hist = pose_tune.tune_poses(
+    tuned, deltas, hist = pose_tune.tune_poses(
         fwd, images, perturbed, Ks,
         steps=600, lr=3e-3, n_rand=1024, log_fn=lambda *a: None,
     )
+    assert deltas.shape == (len(i_train), 6)
     ang1, dist1 = _pose_errors(tuned, true_poses)
     # 300 steps at lr 2e-3 measured 2.32 deg -> 0.96 deg (2.4x); the gate
     # asks for a solid recovery, not perfection at this blur level

@@ -35,8 +35,10 @@ def main() -> int:
 
     data = np.load(args.path)
     alpha, rgb = data["alpha"], data["rgb"]
-    if rgb.shape[0] < rgb.shape[-1]:  # channel-first export tolerance
-        alpha = np.transpose(alpha, (1, 2, 0))
+    # export_coarse writes channel-last (alpha [X,Y,Z], rgb [X,Y,Z,3]);
+    # tolerate a channel-first rgb from foreign exporters. alpha has no
+    # channel axis, so it is never transposed.
+    if rgb.ndim == 4 and rgb.shape[0] == 3 and rgb.shape[-1] != 3:
         rgb = np.transpose(rgb, (1, 2, 3, 0))
     print("Shape", alpha.shape, rgb.shape)
     active = alpha > args.thres

@@ -187,6 +187,10 @@ def load_waymo_data(
     sample_num: int = -1,
     sample_interval: int = 1,
     training_ids=None,
+    # NOTE: accepted for config parity but UNUSED — the reference's
+    # gen_rotational_trajs takes rotate_angle and never reads it
+    # (waymo_traj.py:44-87 hardcodes test_num=200, interval=-0.3deg);
+    # we mirror that behavior so test trajectories match
     test_rotate_angle: float = 9.0,
     load_img: bool = True,
     near: float | None = None,

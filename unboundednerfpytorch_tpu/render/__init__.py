@@ -24,6 +24,8 @@ def write_video(path: str, frames, fps: int = 30) -> str:
     except Exception as e:  # noqa: BLE001 — missing ffmpeg/pyav backend
         import imageio.v2 as imageio
 
+        if os.path.exists(path):
+            os.remove(path)  # a mid-write failure leaves a corrupt container
         outdir = os.path.splitext(path)[0] + "_frames"
         os.makedirs(outdir, exist_ok=True)
         for i, f in enumerate(frames):
@@ -161,8 +163,12 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             flip_y=cfg.data.flip_y,
             eval_lpips=(getattr(args, "eval_lpips", False)
                         or getattr(args, "eval_lpips_vgg", False)),
-            lpips_net=("vgg" if getattr(args, "eval_lpips_vgg", False)
-                       else "alex"),
+            lpips_nets=tuple(
+                net for net, on in (
+                    ("alex", getattr(args, "eval_lpips", False)),
+                    ("vgg", getattr(args, "eval_lpips_vgg", False)),
+                ) if on
+            ) or ("alex",),
             aux=aux,
             mesh=mesh,
             render_factor=(getattr(args, "render_video_factor", 0)

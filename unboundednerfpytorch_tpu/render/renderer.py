@@ -211,7 +211,7 @@ def render_viewpoints(
     chunk: int = DEFAULT_CHUNK,
     eval_ssim: bool = True,
     eval_lpips: bool = False,
-    lpips_net: str = "alex",
+    lpips_nets: tuple = ("alex",),
     verbose: bool = True,
     log_fn=print,
     aux=None,
@@ -227,7 +227,8 @@ def render_viewpoints(
     ``render_video_flipy`` / ``render_video_rot90``: post-transforms of the
     rendered stack (run_render.py:93-103).
 
-    Returns dict(rgbs, depths, bgmaps, psnrs, ssims, lpips).
+    Returns dict(rgbs, depths, bgmaps, psnrs, ssims, lpips) — ``lpips`` is
+    a list of per-view {net: value} dicts (one key per requested net).
     """
     HW = np.asarray(HW)
     Ks = np.asarray(Ks, np.float64)
@@ -256,7 +257,10 @@ def render_viewpoints(
                 ssims.append(M.rgb_ssim(rgb, gt, max_val=1.0))
             if eval_lpips:
                 try:
-                    lpips_vals.append(M.rgb_lpips(gt, rgb, net_name=lpips_net))
+                    lpips_vals.append({
+                        net: M.rgb_lpips(gt, rgb, net_name=net)
+                        for net in lpips_nets
+                    })
                 except ImportError:
                     pass
     if render_video_flipy:
@@ -273,7 +277,11 @@ def render_viewpoints(
         if ssims:
             log_fn(f"render eval: ssim {np.mean(ssims):.4f}")
         if lpips_vals:
-            log_fn(f"render eval: lpips {np.mean(lpips_vals):.4f}")
+            for net in lpips_vals[0]:
+                log_fn(
+                    f"render eval: lpips/{net} "
+                    f"{np.mean([v[net] for v in lpips_vals]):.4f}"
+                )
     return {
         "rgbs": np.stack(rgbs) if rgbs else np.zeros((0,)),
         "depths": np.stack(depths) if depths else np.zeros((0,)),

@@ -110,6 +110,7 @@ def tune_poses(
     poses: np.ndarray,       # [N, 3, 4] initial camera-to-world
     Ks: np.ndarray,          # [N, 3, 3]
     *,
+    aux=None,
     steps: int = 400,
     lr: float = 1e-3,
     n_rand: int = 2048,
@@ -122,9 +123,13 @@ def tune_poses(
 ):
     """Optimize per-image se(3) deltas against the frozen model.
 
-    forward_fn: (ro, rd, vd) -> RenderResult (frozen params closed over, or
-    threaded by the caller via functools.partial).
-    Returns (tuned_poses [N,3,4] np.ndarray, history dict).
+    forward_fn: (aux, ro, rd, vd) -> RenderResult when ``aux`` is given
+    (aux = frozen model state, threaded as a jit ARGUMENT — multi-GB grids
+    must never be closure constants, see renderer.render_image docstring);
+    (ro, rd, vd) -> RenderResult when aux is None (tiny tests only).
+    The image/pose/K stacks also ride as jit arguments.
+    Returns (tuned_poses [N,3,4] np.ndarray, deltas [N,6] np.ndarray,
+    history dict).
     """
     N, H, W = images.shape[:3]
     images_j = jnp.asarray(images, jnp.float32)
@@ -135,23 +140,26 @@ def tune_poses(
 
     opt = optax.adam(lr)
 
-    def loss_fn(delta, key):
+    def loss_fn(delta, aux_t, imgs, base_poses, Ks_a, key):
         ki, ky, kx = jax.random.split(key, 3)
         img = jax.random.randint(ki, (n_rand,), 0, N)
         py = jax.random.randint(ky, (n_rand,), 0, H)
         px = jax.random.randint(kx, (n_rand,), 0, W)
-        gt = images_j[img, py, px]
-        c2w = apply_pose_delta(poses_j[img], delta[img])
+        gt = imgs[img, py, px]
+        c2w = apply_pose_delta(base_poses[img], delta[img])
         ro, rd, vd = pixel_rays(
-            Ks_j[img], c2w, px, py, W, H,
+            Ks_a[img], c2w, px, py, W, H,
             inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
         )
-        res = forward_fn(ro, rd, vd)
+        res = (forward_fn(aux_t, ro, rd, vd) if aux is not None
+               else forward_fn(ro, rd, vd))
         return jnp.mean(jnp.square(res.rgb_marched - gt))
 
     @jax.jit
-    def step(delta, opt_state, key):
-        loss, g = jax.value_and_grad(loss_fn)(delta, key)
+    def step(delta, opt_state, aux_t, imgs, base_poses, Ks_a, key):
+        loss, g = jax.value_and_grad(loss_fn)(
+            delta, aux_t, imgs, base_poses, Ks_a, key
+        )
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(delta, updates), opt_state, loss
 
@@ -160,7 +168,10 @@ def tune_poses(
     key = jax.random.PRNGKey(seed)
     history = {"mse": []}
     for s in range(1, steps + 1):
-        delta, opt_state, loss = step(delta, opt_state, jax.random.fold_in(key, s))
+        delta, opt_state, loss = step(
+            delta, opt_state, aux, images_j, poses_j, Ks_j,
+            jax.random.fold_in(key, s),
+        )
         if s == 1 or s % log_every == 0 or s == steps:
             mse = float(loss)
             history["mse"].append((s, mse))
@@ -168,19 +179,29 @@ def tune_poses(
             log_fn(f"tune_pose iter {s:5d} / mse {mse:.6f} / psnr {psnr:.2f}")
 
     tuned = apply_pose_delta(poses_j, delta)
-    return np.asarray(tuned), history
+    return np.asarray(tuned), np.asarray(delta), history
 
 
 def run_tune_pose(args, cfg, data_dict, exp_dir: str) -> str:
-    """CLI driver: load the trained fine model, refine the training-split
-    poses, save ``tuned_poses.npy`` (+ deltas) into the exp dir."""
+    """CLI driver: load the trained fine model (honoring --ft_path and the
+    merged block checkpoint like the render program), refine the
+    training-split poses, save ``tuned_poses.npy`` + ``tuned_deltas.npy`` +
+    ``tune_pose_history.json`` into the exp dir."""
+    import json
     import os
 
     from unboundednerfpytorch_tpu.train.loop import make_forward
     from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
 
+    # checkpoint resolution mirrors run_render (render/__init__.py):
+    # explicit --ft_path > merged block ckpt > fine_last
     path = os.path.join(exp_dir, "fine_last")
-    if not os.path.exists(path):
+    merged = os.path.join(exp_dir, "fine_last_merged")
+    if getattr(args, "ft_path", ""):
+        path = args.ft_path
+    elif os.path.exists(os.path.join(merged, "meta.json")):
+        path = merged
+    if not os.path.exists(os.path.join(path, "meta.json")):
         raise FileNotFoundError(
             f"tune_pose needs a trained model at {path} — run --program "
             "train first (the reference's sfm_FourierGrid.sh flow)"
@@ -193,15 +214,18 @@ def run_tune_pose(args, cfg, data_dict, exp_dir: str) -> str:
         "stepsize": cfg.fine_model_and_render.stepsize,
     }
     fwd_core = make_forward(family, mcfg, render_kwargs)
-    fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None)
+    # params ride as the jit-argument aux — NEVER a closure constant
+    # (multi-GB grids would bake into the executable; renderer.py docstring)
+    fwd = lambda aux, ro, rd, vd: fwd_core(aux, ro, rd, vd, None)
 
     i_train = np.asarray(data_dict["i_train"])
     images = np.stack([np.asarray(data_dict["images"][i]) for i in i_train])
     poses = np.asarray(data_dict["poses"])[i_train][:, :3, :4]
     Ks = np.asarray(data_dict["Ks"])[i_train]
 
-    tuned, history = tune_poses(
+    tuned, deltas, history = tune_poses(
         fwd, images, poses, Ks,
+        aux=params,
         steps=getattr(args, "tune_steps", 400),
         lr=getattr(args, "tune_lr", 1e-3),
         n_rand=min(cfg.fine_train.N_rand, 4096),
@@ -211,5 +235,8 @@ def run_tune_pose(args, cfg, data_dict, exp_dir: str) -> str:
     )
     out = os.path.join(exp_dir, "tuned_poses.npy")
     np.save(out, tuned)
-    print(f"tune_pose: saved refined train poses to {out}")
+    np.save(os.path.join(exp_dir, "tuned_deltas.npy"), deltas)
+    with open(os.path.join(exp_dir, "tune_pose_history.json"), "w") as f:
+        json.dump(history, f)
+    print(f"tune_pose: saved refined train poses to {out} (+ deltas, history)")
     return out
