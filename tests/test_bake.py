@@ -53,6 +53,7 @@ def _rays(n, key):
     return ro, rd, vd
 
 
+@pytest.mark.slow
 def test_bake_is_exact_for_single_bank_field():
     """With num_freqs=0 the bake at scale 1 is a pure lattice resample of a
     trilinear field onto its own nodes — identical renders."""
@@ -67,6 +68,7 @@ def test_bake_is_exact_for_single_bank_field():
     )
 
 
+@pytest.mark.slow
 def test_bake_approximates_multi_bank_field():
     params, cfg = _model(num_freqs=2)
     baked, bcfg = fg.bake_for_rendering(params, cfg, scale=1.6)

@@ -125,6 +125,7 @@ def test_block_parallel_resume_mid_run(tmp_path, data):
         )
 
 
+@pytest.mark.slow
 def test_pg_boundary_applies_act_shift_decay_and_deferred_budget(tmp_path, data):
     """The stacked-SPMD pg boundary must mirror the sequential recipe
     (ADVICE r2): act_shift decays by decay_after_scale, and sample_budget is

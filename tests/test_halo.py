@@ -40,6 +40,7 @@ def test_sharded_sample_matches_replicated():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_field_training_matches_replicated():
     """The >HBM end-to-end path (VERDICT r2 item 5): the SHIPPED training
     loop with grid_parallel=2 (grids + Adam moments spatially sharded,
