@@ -408,3 +408,146 @@ def colmap_to_standard(basedir: str, out_dir: str, holdout: int = 8) -> None:
         dst = os.path.join(out_dir, split, "rgb", stem + os.path.splitext(img["name"])[1])
         if os.path.exists(src):
             shutil.copy(src, dst)
+
+
+# ---------------------------------------------------------------------------
+# NeRF-style scene processing + cams_meta / poses_bounds export
+# (run_colmap2standard.py:14-212, the mipnerf360 NeRFSceneManager path)
+# ---------------------------------------------------------------------------
+
+def scene_process(data_dir: str):
+    """Load sparse/0 and return NeRF-frame pose data with lens parameters
+    (NeRFSceneManager.process, run_colmap2standard.py:24-112).
+
+    Returns (scene_manager, names, poses, pixtocam, distortion_params,
+    camtype): poses are [N, 3, 4] camera-to-world in the NeRF frame
+    (right, up, back); pixtocam is the shared inverse intrinsic matrix;
+    distortion_params is a kwargs dict for cameras.undistort (or None for
+    distortion-free models); camtype is cameras.ProjectionType.
+    """
+    from unboundednerfpytorch_tpu.data import cameras as cameras_mod
+
+    sm = SceneManager(os.path.join(data_dir, "sparse", "0")).load()
+    cam_id = sorted(sm.cameras.keys())[0]  # shared intrinsics assumed
+    cam = sm.cameras[cam_id]
+    pixtocam = np.linalg.inv(sm.camera_matrix(cam_id)).astype(np.float64)
+
+    image_ids = list(sm.images.keys())
+    names = [sm.images[i]["name"] for i in image_ids]
+    c2w = np.stack([sm.camera_to_world(i) for i in image_ids])[:, :3, :4]
+    # COLMAP frame (right, down, fwd) -> NeRF frame (right, up, back)
+    poses = c2w @ np.diag([1.0, -1.0, -1.0, 1.0])
+
+    dist, camtype = cameras_mod.colmap_distortion_params(
+        cam["model"], cam["params"]
+    )
+    return sm, names, poses, pixtocam, dist, camtype
+
+
+def compute_depth_bounds(sm: SceneManager, names, poses) -> np.ndarray:
+    """Per-image [near, far] from the depths of that image's visible 3D
+    points: 1/99 percentiles widened x0.5 / x5 (run_colmap2standard.py:
+    140-163). `poses` are NeRF-frame c2w rows aligned with `names`; depth
+    along the view axis is -z in that frame. Images observing no valid
+    points fall back to [0.1, 10] (the reference would crash there)."""
+    bounds = np.zeros((len(names), 2), np.float64)
+    bottom = np.array([[0, 0, 0, 1.0]])
+    for i, name in enumerate(names):
+        image_id = sm.name_to_image_id[name]
+        pts = sm.image_points3D(image_id)
+        if len(pts) == 0:
+            bounds[i] = (0.1, 10.0)
+            continue
+        c2w = np.concatenate([poses[i], bottom], 0)
+        w2c = np.linalg.inv(c2w)
+        z = pts @ w2c[2, :3] + w2c[2, 3]
+        depth = -z
+        near, far = np.percentile(depth, 1.0), np.percentile(depth, 99.0)
+        bounds[i] = (near * 0.5, far * 5.0)
+    return bounds
+
+
+def export_cams_meta(data_dir: str, out_mode: str = "cams_meta") -> np.ndarray:
+    """Export a COLMAP reconstruction as cams_meta.npy / poses_bounds[_raw]
+    .npy (run_colmap2standard.py:115-212, Dataset.__init__ + export).
+
+    cams_meta rows ([N, 27], name-sorted): 12 c2w pose + 9 cam2pix + 4
+    distortion (k1, k2, p1, p2) + 2 depth bounds — the layout the
+    free-trajectory loader consumes (extra_loaders.load_free_data).
+    poses_bounds[_raw] rows ([N, 17]): 3x5 [pose | hwf] + 2 bounds, with the
+    `raw` variant permuting pose columns to (-y, x, z) (LLFF convention).
+    """
+    sm, names, poses, pixtocam, dist, _camtype = scene_process(data_dir)
+
+    order = np.argsort(names)
+    poses = poses[order]
+    names = [names[i] for i in order]
+    bounds = compute_depth_bounds(sm, names, poses)
+    n = len(names)
+
+    cam2pix = np.linalg.inv(pixtocam)
+    if out_mode == "cams_meta":
+        # fisheye models carry k3/k4 instead of p1/p2; the 4-slot layout
+        # stores (k1, k2, p1, p2) like the reference (which only ever
+        # exports perspective models through this path)
+        d = dist or {}
+        dist4 = np.array(
+            [d.get("k1", 0.0), d.get("k2", 0.0), d.get("p1", 0.0), d.get("p2", 0.0)]
+        )
+        data = np.concatenate(
+            [
+                poses.reshape(n, 12),
+                np.tile(cam2pix.reshape(1, 9), (n, 1)),
+                np.tile(dist4.reshape(1, 4), (n, 1)),
+                bounds.reshape(n, 2),
+            ],
+            axis=-1,
+        )
+        data = np.ascontiguousarray(data.astype(np.float64))
+        np.save(os.path.join(data_dir, "cams_meta.npy"), data)
+        return data
+
+    if out_mode in ("poses_bounds", "poses_bounds_raw"):
+        h, w = _first_image_hw(data_dir, sm)
+        focal = (cam2pix[0, 0] + cam2pix[1, 1]) * 0.5
+        p = poses
+        if out_mode == "poses_bounds_raw":
+            p = np.concatenate([-p[:, :, 1:2], p[:, :, 0:1], p[:, :, 2:]], 2)
+        hwf = np.tile(np.array([h, w, focal]).reshape(1, 3, 1), (n, 1, 1))
+        data = np.concatenate(
+            [np.concatenate([p, hwf], -1).reshape(n, 15), bounds.reshape(n, 2)],
+            axis=-1,
+        )
+        data = np.ascontiguousarray(data.astype(np.float64))
+        np.save(os.path.join(data_dir, f"{out_mode}.npy"), data)
+        return data
+
+    raise ValueError(f"unknown out_mode {out_mode!r}")
+
+
+def _first_image_hw(data_dir: str, sm: SceneManager):
+    """(height, width) from the first file under images/, else from the
+    COLMAP camera record (the reference cv.imread's the first image and
+    crashes without one; the camera record is authoritative anyway)."""
+    import glob as _glob
+
+    for pattern in ("*.png", "*.PNG", "*.jpg", "*.JPG", "*.jpeg"):
+        hits = sorted(_glob.glob(os.path.join(data_dir, "images", pattern)))
+        if hits:
+            try:
+                import cv2
+
+                im = cv2.imread(hits[0])
+                if im is not None:
+                    return im.shape[0], im.shape[1]
+            except ImportError:
+                pass
+            try:
+                import imageio.v2 as imageio
+
+                im = imageio.imread(hits[0])
+                return im.shape[0], im.shape[1]
+            except Exception:
+                pass
+    cam = sm.cameras[sorted(sm.cameras.keys())[0]]
+    return cam["height"], cam["width"]
