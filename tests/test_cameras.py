@@ -284,3 +284,76 @@ def test_colmap2standard_cli(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert os.path.exists(os.path.join(base, "cams_meta.npy"))
+
+
+# ---------------------------------------------------------------------------
+# COLMAP per-model intrinsic layouts + loud fisheye export failure
+# ---------------------------------------------------------------------------
+
+def test_intrinsics_from_params_radial_family():
+    # RADIAL params are [f, cx, cy, k1, k2] — a PINHOLE-style parse would
+    # read fy:=cx, cx:=cy, cy:=k1
+    fx, fy, cx, cy = colmap.intrinsics_from_params(
+        "RADIAL", [50.0, 50.0, 40.0, 0.1, 0.01]
+    )
+    assert (fx, fy, cx, cy) == (50.0, 50.0, 50.0, 40.0)
+    fx, fy, cx, cy = colmap.intrinsics_from_params(
+        "OPENCV", [50.0, 51.0, 25.0, 24.0, 0.1, 0.01, 0.001, 0.002]
+    )
+    assert (fx, fy, cx, cy) == (50.0, 51.0, 25.0, 24.0)
+
+
+def test_camera_matrix_radial_layout(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "cameras.txt"), "w") as f:
+        f.write("1 RADIAL 100 80 50.0 50.0 40.0 0.1 0.01\n")
+    sm = colmap.SceneManager(d)
+    sm.load_cameras()
+    K = sm.camera_matrix(1)
+    np.testing.assert_allclose(
+        K, [[50, 0, 50], [0, 50, 40], [0, 0, 1]], atol=0
+    )
+
+
+def test_colmap_to_standard_opencv_principal_point(tmp_path):
+    base = str(tmp_path)
+    _write_opencv_colmap_model(os.path.join(base, "sparse", "0"), w=10, h=8)
+    out = os.path.join(base, "std")
+    colmap.colmap_to_standard(base, out, holdout=2)
+    K = np.loadtxt(os.path.join(out, "test", "intrinsics", "00000.txt"))
+    K = K.reshape(4, 4)
+    # OPENCV params [fx fy cx cy k1 k2 p1 p2]: principal point is cx,cy=5,4
+    # (not the tangential coefficients p1/p2)
+    np.testing.assert_allclose(
+        [K[0, 0], K[1, 1], K[0, 2], K[1, 2]], [12.0, 12.0, 5.0, 4.0]
+    )
+
+
+def test_export_cams_meta_rejects_fisheye(tmp_path):
+    d = os.path.join(str(tmp_path), "sparse", "0")
+    os.makedirs(d)
+    with open(os.path.join(d, "cameras.txt"), "w") as f:
+        f.write("1 OPENCV_FISHEYE 100 80 50 50 50 40 0.1 0.01 0.001 0.002\n")
+    with open(os.path.join(d, "images.txt"), "w") as f:
+        f.write("1 1 0 0 0 0 0 2 1 x.png\n\n")
+    with open(os.path.join(d, "points3D.txt"), "w") as f:
+        f.write("1 0.5 0.5 1.0 255 0 0 0.1 1 0\n")
+    with pytest.raises(ValueError, match="FISHEYE"):
+        colmap.export_cams_meta(str(tmp_path), out_mode="cams_meta")
+
+
+def test_scene_manager_text_points3d(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "cameras.txt"), "w") as f:
+        f.write("1 SIMPLE_PINHOLE 64 48 50.0 32.0 24.0\n")
+    with open(os.path.join(d, "images.txt"), "w") as f:
+        f.write("1 1 0 0 0 0 0 2 1 x.png\n10.0 20.0 7\n")
+    with open(os.path.join(d, "points3D.txt"), "w") as f:
+        f.write("# comment\n7 0.5 -0.5 1.5 255 0 0 0.25 1 0 1 3\n")
+    sm = colmap.SceneManager(d).load()
+    np.testing.assert_allclose(sm.points3D[0], [0.5, -0.5, 1.5])
+    assert sm.point3D_ids.tolist() == [7]
+    np.testing.assert_allclose(sm.point3D_errors, [0.25])
+    assert sm.point3D_id_to_images[7].tolist() == [1, 1]
+    pts = sm.image_points3D(1)
+    np.testing.assert_allclose(pts, [[0.5, -0.5, 1.5]])

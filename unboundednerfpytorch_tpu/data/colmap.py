@@ -130,6 +130,23 @@ def read_points3d_binary(path: str) -> dict:
     return points
 
 
+# COLMAP models with a single shared focal: params lead with [f, cx, cy, ...]
+# (src/base/camera_models.h); every other model leads with [fx, fy, cx, cy, ...]
+_SINGLE_FOCAL_MODELS = frozenset(
+    {"SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+     "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"}
+)
+
+
+def intrinsics_from_params(model: str, params) -> tuple:
+    """(fx, fy, cx, cy) from a COLMAP camera record, honoring the per-model
+    parameter layout (RADIAL-family models carry one focal length)."""
+    p = np.asarray(params, dtype=np.float64)
+    if model in _SINGLE_FOCAL_MODELS:
+        return float(p[0]), float(p[0]), float(p[1]), float(p[2])
+    return float(p[0]), float(p[1]), float(p[2]), float(p[3])
+
+
 def qvec2rotmat(q: np.ndarray) -> np.ndarray:
     w, x, y, z = q
     return np.array([
@@ -163,8 +180,19 @@ def read_cameras_text(path: str) -> dict:
 def read_images_text(path: str) -> dict:
     images = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+        # keep blank lines: an image with zero observations is written as a
+        # meta line followed by an EMPTY points line — dropping blanks would
+        # silently skip it and misalign every following (meta, pts) pair
+        lines = [l.strip() for l in f if not l.startswith("#")]
+    # leading/trailing whitespace-only lines are not records; a blank line in
+    # the pts position mid-file is (zero observations)
+    while lines and not lines[0]:
+        lines.pop(0)
+    while lines and not lines[-1] and len(lines) % 2:
+        lines.pop()
     for meta_line, pts_line in zip(lines[0::2], lines[1::2]):
+        if not meta_line:
+            continue
         p = meta_line.split()
         pts = pts_line.split()
         xys = np.array([float(v) for v in pts]).reshape(-1, 3) if pts else np.zeros((0, 3))
@@ -177,6 +205,24 @@ def read_images_text(path: str) -> dict:
             "point3D_ids": xys[:, 2].astype(np.int64) if len(xys) else np.zeros((0,), np.int64),
         }
     return images
+
+
+def read_points3d_text(path: str) -> dict:
+    points = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = line.split()
+            track = np.array([int(v) for v in p[8::2]], np.int64)
+            points[int(p[0])] = {
+                "xyz": np.array([float(v) for v in p[1:4]]),
+                "rgb": np.array([int(v) for v in p[4:7]]),
+                "error": float(p[7]),
+                "image_ids": track,
+            }
+    return points
 
 
 class SceneManager:
@@ -230,7 +276,11 @@ class SceneManager:
         }
 
     def load_points3D(self):
-        pts = read_points3d_binary(self._path("points3D"))
+        p = self._path("points3D")
+        pts = (
+            read_points3d_binary(p) if p.endswith(".bin")
+            else read_points3d_text(p)
+        )
         self.point3D_ids = np.array(sorted(pts.keys()), np.int64)
         self.points3D = np.array(
             [pts[i]["xyz"] for i in self.point3D_ids]
@@ -248,12 +298,7 @@ class SceneManager:
     # --- camera math (scene_manager.py get_camera_matrix equivalents) -----
     def camera_matrix(self, camera_id: int) -> np.ndarray:
         cam = self.cameras[camera_id]
-        p = cam["params"]
-        if cam["model"] == "SIMPLE_PINHOLE" or cam["model"] == "SIMPLE_RADIAL":
-            fx = fy = p[0]
-            cx, cy = p[1], p[2]
-        else:  # PINHOLE-style [fx fy cx cy ...]
-            fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+        fx, fy, cx, cy = intrinsics_from_params(cam["model"], cam["params"])
         return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
 
     def world_to_camera(self, image_id: int) -> np.ndarray:
@@ -380,9 +425,7 @@ def colmap_to_standard(basedir: str, out_dir: str, holdout: int = 8) -> None:
     cameras = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
     images = read_images_binary(os.path.join(sparse, "images.bin"))
     cam = cameras[list(cameras.keys())[0]]
-    fx = cam["params"][0]
-    fy = cam["params"][1] if len(cam["params"]) > 3 else fx
-    cx, cy = cam["params"][-2], cam["params"][-1]
+    fx, fy, cx, cy = intrinsics_from_params(cam["model"], cam["params"])
     K = np.eye(4)
     K[0, 0], K[1, 1], K[0, 2], K[1, 2] = fx, fy, cx, cy
 
@@ -477,7 +520,19 @@ def export_cams_meta(data_dir: str, out_mode: str = "cams_meta") -> np.ndarray:
     poses_bounds[_raw] rows ([N, 17]): 3x5 [pose | hwf] + 2 bounds, with the
     `raw` variant permuting pose columns to (-y, x, z) (LLFF convention).
     """
-    sm, names, poses, pixtocam, dist, _camtype = scene_process(data_dir)
+    from unboundednerfpytorch_tpu.data import cameras as cameras_mod
+
+    sm, names, poses, pixtocam, dist, camtype = scene_process(data_dir)
+    if camtype == cameras_mod.ProjectionType.FISHEYE:
+        # the 4-slot (k1, k2, p1, p2) layout cannot carry the fisheye
+        # k3/k4 model and has no projection-type flag; exporting would
+        # silently train with the wrong camera model (the reference
+        # crashes here too — run_colmap2standard.py:173 KeyError 'p1')
+        raise ValueError(
+            "OPENCV_FISHEYE reconstructions cannot be exported to "
+            f"{out_mode}: the format only encodes perspective cameras. "
+            "Undistort the images (colmap image_undistorter) first."
+        )
 
     order = np.argsort(names)
     poses = poses[order]
@@ -485,11 +540,8 @@ def export_cams_meta(data_dir: str, out_mode: str = "cams_meta") -> np.ndarray:
     bounds = compute_depth_bounds(sm, names, poses)
     n = len(names)
 
-    cam2pix = np.linalg.inv(pixtocam)
+    cam2pix = sm.camera_matrix(sorted(sm.cameras.keys())[0])
     if out_mode == "cams_meta":
-        # fisheye models carry k3/k4 instead of p1/p2; the 4-slot layout
-        # stores (k1, k2, p1, p2) like the reference (which only ever
-        # exports perspective models through this path)
         d = dist or {}
         dist4 = np.array(
             [d.get("k1", 0.0), d.get("k2", 0.0), d.get("p1", 0.0), d.get("p2", 0.0)]
