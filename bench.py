@@ -153,7 +153,7 @@ def main() -> None:
 
         core = make_train_step(
             fwd, tcfg, world_size_max=float(max(cfg_fwd.world_size)),
-            donate=donate, tv_fused=tv_fused,
+            tv_fused=tv_fused,
         )
         return make_sampled_step(core, TRAIN_BATCH, donate=donate)
 

@@ -129,7 +129,7 @@ def _emulate_two_hosts(seed: int = 5):
     }
     fwd = loop_mod.make_forward(family, mcfg, render_kwargs)
     core = make_train_step(
-        fwd, tr, world_size_max=float(max(mcfg.world_size)), donate=False
+        fwd, tr, world_size_max=float(max(mcfg.world_size))
     )
     jitted = jax.jit(core)
 

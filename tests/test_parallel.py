@@ -43,7 +43,7 @@ def test_dp_step_matches_single_device():
     def fwd(p, ro, rd, vd, key, img_index=None):
         return dvgo.forward(p, cfg, ro, rd, vd, near=0.5, stepsize=0.5, bg=1.0)
 
-    step = make_train_step(fwd, tc, world_size_max=12.0, donate=False)
+    step = make_train_step(fwd, tc, world_size_max=12.0)
 
     n = 32
     key = jax.random.PRNGKey(1)

@@ -120,7 +120,7 @@ def test_train_step_with_fused_tv_matches_default():
     def run(tv_fused):
         step = make_train_step(
             fwd, tcfg, world_size_max=float(max(cfg.world_size)),
-            donate=False, tv_fused=tv_fused,
+            tv_fused=tv_fused,
         )
         state = create_train_state(params, tcfg)
         n = tcfg.N_rand

@@ -223,7 +223,7 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
                             bg=bg)
 
     step_fn = jax.jit(make_train_step(
-        fwd, tcfg, world_size_max=float(max(cfg.world_size)), donate=False,
+        fwd, tcfg, world_size_max=float(max(cfg.world_size)),
     ))
     state = create_train_state(params, tcfg)
 

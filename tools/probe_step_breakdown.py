@@ -145,7 +145,7 @@ def main():
         tv_fused = ptv.make_tv_fused()
     core = make_train_step(
         fwd, tcfg, world_size_max=float(max(cfg.world_size)),
-        donate=True, tv_fused=tv_fused,
+        tv_fused=tv_fused,
     )
     d = timeit_state(lambda st, bt: core(st, bt, key)[0],
                      lambda: create_train_state(fresh_params(), tcfg))

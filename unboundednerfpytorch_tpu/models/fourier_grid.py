@@ -64,7 +64,7 @@ class FourierGridConfig:
     # Occupancy probe stride for the budget pre-pass: test every k-th sample
     # against the dilated mask cache and broadcast the result to the skipped
     # neighbors. The occupancy refresh widens its max-pool dilation with the
-    # stride (3^3 for stride<=2, 5^3 for stride 3-4, ... — see
+    # stride (3^3 for stride<=2, (2*stride-1)^3 beyond — see
     # :func:`_occupancy_dilation_window`) so a probe's verdict stays
     # conservative for every sample in its stride group at stepsize<=1
     # voxel. Divides the pre-pass gather rows by the stride.
@@ -536,6 +536,11 @@ def forward(
         cache is not None
         and cache.density_tables is not None
         and cfg.color_budget > 0
+        # thres <= 0 keeps EVERY sample's weight "surviving", so the
+        # color_budget compaction would hard-truncate rays to their first
+        # color_budget samples instead of the documented low-weight tail —
+        # fall through to the single-stage cache path in that regime
+        and thres > 0
         and spatial_mesh is None
         and _fused_banks(params, cfg)
     ):
@@ -553,18 +558,13 @@ def forward(
     fused = _fused_banks(params, cfg) and spatial_mesh is None
     use_packed = _use_packed(params, cfg) and spatial_mesh is None
     if fused:
-        from unboundednerfpytorch_tpu.fields.grids import nerf_pos_embed_coords
         from unboundednerfpytorch_tpu.ops import interp as interp_ops
         from unboundednerfpytorch_tpu.ops import packed as packed_ops
 
         B = params.density.grid.shape[0]
         dims = params.density.grid.shape[1:4]
         cf = 1 + cfg.k0_dim
-        mn = jnp.asarray(cfg.xyz_min)
-        mx = jnp.asarray(cfg.xyz_max)
-        coords = ((pts - mn) / (mx - mn)) * 2.0 - 1.0
-        bank_coords = nerf_pos_embed_coords(coords, cfg.fourier_freq_num)
-        c01 = (bank_coords + 1.0) * 0.5
+        c01 = _bank_coords01(cfg, pts)
         if use_packed and cache is not None:
             # rendering: tables pre-packed once, one row gather per bank
             c01b = jnp.moveaxis(c01, -2, 0)  # [B, N, S, 3]
@@ -804,12 +804,13 @@ def _dense_alpha_chunked(
 def _occupancy_dilation_window(cfg: FourierGridConfig) -> int:
     """Max-pool window for the occupancy refresh: the reference's 3^3
     (dvgo.py:238-245), widened so a strided budget probe stays conservative —
-    samples up to ceil(stride/2) steps from their probe need the mask dilated
-    by that many voxels (at stepsize <= 1 voxel per step)."""
+    the probe verdict is forward-filled over its stride group (jnp.repeat),
+    so the last sample of a group sits stride-1 steps PAST the probe and the
+    mask must be dilated by that many voxels (at stepsize <= 1 voxel/step)."""
     stride = max(1, cfg.budget_probe_stride)
     if stride <= 2:
         return 3
-    return 2 * ((stride + 1) // 2) + 1
+    return 2 * (stride - 1) + 1
 
 
 def scale_volume_grid(

@@ -138,17 +138,22 @@ def get_training_rays_flatten(
     (reference ``dvgo.py:595-627``) for same-shape images: vmap ray generation
     over all poses at once instead of a Python loop.
 
+    K may be one shared [3, 3] intrinsic matrix or per-view [N, 3, 3]
+    (multi-camera rigs — e.g. Waymo with sample_cam=None — carry different
+    fx/fy/cx/cy per view; the reference passes Ks[i_train] per view).
+
     Returns rgb [N,3], rays_o [N,3], rays_d [N,3], viewdirs [N,3],
     img_index [N] (per-ray source image id, used by appearance embeddings).
     """
     n_img = poses.shape[0]
+    Kb = jnp.broadcast_to(K, (n_img, 3, 3)) if K.ndim == 2 else K
 
-    def one(c2w):
+    def one(c2w, Ki):
         return get_rays_of_a_view(
-            H, W, K, c2w, ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y
+            H, W, Ki, c2w, ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y
         )
 
-    rays_o, rays_d, viewdirs = jax.vmap(one)(poses[:, :3, :4])
+    rays_o, rays_d, viewdirs = jax.vmap(one)(poses[:, :3, :4], Kb)
     rgb = images.reshape(-1, 3)
     img_index = jnp.repeat(jnp.arange(n_img, dtype=jnp.int32), H * W)
     return (

@@ -164,6 +164,9 @@ def run_train_blocks_parallel(
             loop_mod.build_model(
                 cfg, cfg_model, cfg_train, xyz_min, xyz_max,
                 jax.random.PRNGKey(seed + b),
+                # one shared table size (stacked params must line up across
+                # blocks); per-block img_index < len(blocks[b]) <= max
+                n_train=max(len(bv) for bv in blocks),
             )
             for b in range(k_blocks)
         ]

@@ -38,9 +38,15 @@ def build_model(
     xyz_min,
     xyz_max,
     key: jax.Array,
+    n_train: int = -1,
 ):
     """Model factory dispatch (run_train.py:19-55). pg_scale shrinks the
-    initial voxel count by 4^-... i.e. /2^len(pg_scale) per reference."""
+    initial voxel count by 4^-... i.e. /2^len(pg_scale) per reference.
+
+    n_train: number of training views — sizes the per-image appearance
+    embedding table when cfg_model.img_emb_dim > 0 (the reference threads
+    args.sample_num into the model, run_train.py:28; batches carry img_index
+    = position within i_train, so the table is indexed by that)."""
     num_voxels_density = cfg_model.num_voxels_density
     num_voxels_rgb = cfg_model.num_voxels_rgb
     if cfg_train.pg_scale:
@@ -52,7 +58,8 @@ def build_model(
         from unboundednerfpytorch_tpu.models import fourier_grid as fg
 
         mcfg = fg.config_from(cfg_model, xyz_min, xyz_max,
-                              num_voxels_density, num_voxels_rgb)
+                              num_voxels_density, num_voxels_rgb,
+                              sample_num=n_train)
         params = fg.create(mcfg, key)
         return "FourierGrid", mcfg, params
     if name == "dmpigo":
@@ -113,16 +120,21 @@ def gather_training_rays(cfg: ExpConfig, data_dict: dict, host: bool = False) ->
     i_train = np.asarray(data_dict["i_train"])
     HW = np.asarray(data_dict["HW"])
     H, W = int(HW[i_train[0]][0]), int(HW[i_train[0]][1])
-    K_np = np.asarray(data_dict["Ks"])[i_train[0]]
+    assert (HW[i_train] == (H, W)).all(), (
+        "mixed per-view image sizes in one training stage are unsupported "
+        "(the flattened ray store assumes H*W rays per view)"
+    )
+    # per-view intrinsics: multi-camera rigs (waymo sample_cam=None) carry a
+    # different K per view — the reference passes Ks[i_train] (run_train.py:75)
+    Ks_np = np.asarray(data_dict["Ks"])[i_train]
     poses_np = np.asarray(data_dict["poses"])[i_train][:, :3, :4]
     images_np = np.asarray(data_dict["images"])[i_train]
 
     if host:
         ro_l, rd_l, vd_l = [], [], []
-        K = jnp.asarray(K_np)
-        for c2w in poses_np:
+        for c2w, K_i in zip(poses_np, Ks_np):
             ro, rd, vd = ray_ops.get_rays_of_a_view(
-                H, W, K, jnp.asarray(c2w),
+                H, W, jnp.asarray(K_i), jnp.asarray(c2w),
                 ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
                 flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
             )
@@ -139,7 +151,7 @@ def gather_training_rays(cfg: ExpConfig, data_dict: dict, host: bool = False) ->
         }
 
     rgb, rays_o, rays_d, viewdirs, img_index = ray_ops.get_training_rays_flatten(
-        jnp.asarray(images_np), jnp.asarray(poses_np), H, W, jnp.asarray(K_np),
+        jnp.asarray(images_np), jnp.asarray(poses_np), H, W, jnp.asarray(Ks_np),
         ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
         flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
     )
@@ -309,7 +321,8 @@ def scene_rep_reconstruction(
         log_fn(f"{stage}: resumed from {reload_path} at step {start_step}")
     else:
         family, mcfg, params = build_model(
-            cfg, cfg_model, cfg_train, xyz_min, xyz_max, k_model
+            cfg, cfg_model, cfg_train, xyz_min, xyz_max, k_model,
+            n_train=len(np.asarray(data_dict["i_train"])),
         )
         if coarse_mask_fn is not None and hasattr(params, "mask_cache"):
             mask = coarse_mask_fn(
@@ -319,11 +332,21 @@ def scene_rep_reconstruction(
                 mask_cache=params.mask_cache.replace(mask=mask)
             )
 
-    if cfg_model.maskout_near_cam_vox and family == "dvgo" and start_step == 0:
+    # the reference applies this to every model that defines it — dvgo AND
+    # FourierGrid (run_train.py:129-130 dispatches on the model object)
+    if cfg_model.maskout_near_cam_vox and start_step == 0 and family in (
+        "dvgo", "FourierGrid",
+    ):
         cam_o = jnp.asarray(
             np.asarray(data_dict["poses"])[np.asarray(data_dict["i_train"])][:, :3, 3]
         )
-        params = dvgo.maskout_near_cam_vox(params, mcfg, cam_o, data_dict["near"])
+        from unboundednerfpytorch_tpu.models import fourier_grid as fg
+
+        mask_fn = (
+            dvgo.maskout_near_cam_vox if family == "dvgo"
+            else fg.maskout_near_cam_vox
+        )
+        params = mask_fn(params, mcfg, cam_o, data_dict["near"])
 
     render_kwargs = {
         "near": float(data_dict["near"]),
@@ -482,17 +505,39 @@ def scene_rep_reconstruction(
             store, n_rand_local, seed=seed + jax.process_index(),
             mode="flatten" if flatten else "random",
         )
+        if start_step > 0:
+            # replay the RNG stream so a resumed run draws the same batches
+            # as the uninterrupted run would at steps > start_step
+            host_sampler.fast_forward(start_step)
     elif flatten:
         from unboundednerfpytorch_tpu.train import step as step_mod
 
         store = place(store)
-        samp_holder["samp"] = place(step_mod.init_sampler_state(
-            int(store["rgb"].shape[0]), jax.random.fold_in(key, 2**31 - 1)
-        ))
+        n_total = int(store["rgb"].shape[0])
+        if start_step > 0:
+            # reconstruct the epoch-permutation state at start_step: the
+            # reshuffle schedule is deterministic (cursor arithmetic) and
+            # each reshuffle keys off fold_in(key, step), so resume
+            # continues the exact batch stream of the uninterrupted run
+            perm_key = jax.random.fold_in(key, 2**31 - 1)
+            cursor = 0
+            for s in range(1, start_step + 1):
+                if cursor + cfg_train.N_rand > n_total:
+                    perm_key = jax.random.split(jax.random.fold_in(key, s))[0]
+                    cursor = 0
+                cursor += cfg_train.N_rand
+            samp_holder["samp"] = place(step_mod.SamplerState(
+                perm=jax.random.permutation(perm_key, n_total).astype(jnp.int32),
+                cursor=jnp.asarray(cursor, jnp.int32),
+            ))
+        else:
+            samp_holder["samp"] = place(step_mod.init_sampler_state(
+                n_total, jax.random.fold_in(key, 2**31 - 1)
+            ))
     else:
         store = place(store)
 
-    def compile_step(mcfg_now, params_now):
+    def compile_step(mcfg_now):
         fwd = make_forward(family, mcfg_now, render_kwargs)
         ws_max = float(max(mcfg_now.world_size))
         tv_axis_scale = None
@@ -549,7 +594,7 @@ def scene_rep_reconstruction(
         sstep = make_sampled_step(core, cfg_train.N_rand, mesh=mesh)
         return lambda state, k_step: sstep(state, store, k_step)
 
-    step_fn = compile_step(mcfg, params)
+    step_fn = compile_step(mcfg)
 
     psnr_hist: list[float] = []
     last_psnr = 0.0
@@ -563,22 +608,29 @@ def scene_rep_reconstruction(
     thres_schedule = dict(normalize_fast_color_thres(cfg_model)[1])
 
     # training-time sample budget: the occupancy cache is all-True at init
-    # (budget would truncate rays arbitrarily), so hold the budget at 0 until
-    # the first pg_scale boundary refreshes occupancy from trained density
+    # (budget would truncate every ray to its first `budget` samples), so hold
+    # the budget at 0 until the cache holds trained geometry: either a coarse
+    #-stage seed (coarse_mask_fn) or the first pg_scale occupancy refresh.
+    # With an empty pg_scale and no coarse seed the cache is NEVER refreshed,
+    # so the budget stays off for the whole stage (correctness over speed).
     deferred_budget = 0
-    if (getattr(mcfg, "sample_budget", 0) > 0 and cfg_train.pg_scale
-            and start_step < min(cfg_train.pg_scale)):
-        # (skip the deferral when resuming past the first pg boundary: the
-        # occupancy cache was already refreshed in the interrupted run)
-        deferred_budget = mcfg.sample_budget
-        mcfg = dataclasses.replace(mcfg, sample_budget=0)
+    if getattr(mcfg, "sample_budget", 0) > 0:
+        first_pg = min(cfg_train.pg_scale) if cfg_train.pg_scale else None
+        cache_trusted = coarse_mask_fn is not None or (
+            # resuming past the first pg boundary: the occupancy cache was
+            # already refreshed in the interrupted run
+            first_pg is not None and start_step >= first_pg
+        )
+        if not cache_trusted:
+            deferred_budget = mcfg.sample_budget
+            mcfg = dataclasses.replace(mcfg, sample_budget=0)
 
     for global_step in range(1 + start_step, n_iters + 1):
         if global_step in thres_schedule and hasattr(mcfg, "fast_color_thres"):
             new_thres = float(thres_schedule[global_step])
             if new_thres != mcfg.fast_color_thres:
                 mcfg = dataclasses.replace(mcfg, fast_color_thres=new_thres)
-                step_fn = compile_step(mcfg, state.params)
+                step_fn = compile_step(mcfg)
         if global_step in pg_scale:
             n_rest = len(pg_scale) - pg_scale.index(global_step) - 1
             cur_vox_density = int(cfg_model.num_voxels_density / (2**n_rest))
@@ -597,7 +649,7 @@ def scene_rep_reconstruction(
             state = place(
                 create_train_state(params, cfg_train, start_step=global_step - 1)
             )
-            step_fn = compile_step(mcfg, params)
+            step_fn = compile_step(mcfg)
 
         # fold_in (not sequential splits): step s gets the same key whether or
         # not the run was interrupted, so kill-and-resume reproduces the exact
@@ -633,8 +685,15 @@ def scene_rep_reconstruction(
 
             from unboundednerfpytorch_tpu.utils import checkpoint as _ckpt
 
+            # persist the TRUE sample_budget, not the deferral-zeroed one:
+            # a resume from this checkpoint must re-enter the deferral logic
+            # with the configured budget or it stays off forever
+            _save_mcfg = (
+                dataclasses.replace(mcfg, sample_budget=deferred_budget)
+                if deferred_budget else mcfg
+            )
             _ckpt.save_model(
-                _os.path.join(exp_dir, f"{stage}_last"), family, mcfg,
+                _os.path.join(exp_dir, f"{stage}_last"), family, _save_mcfg,
                 state.params, global_step=global_step,
                 opt_state=state.opt_state,
             )
@@ -646,9 +705,14 @@ def scene_rep_reconstruction(
 
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
 
+        # see the periodic-save note: never persist a deferral-zeroed budget
+        save_mcfg = (
+            dataclasses.replace(mcfg, sample_budget=deferred_budget)
+            if deferred_budget else mcfg
+        )
         ckpt_mod.save_model(
-            os.path.join(exp_dir, f"{stage}_last"), family, mcfg, state.params,
-            global_step=n_iters, opt_state=state.opt_state,
+            os.path.join(exp_dir, f"{stage}_last"), family, save_mcfg,
+            state.params, global_step=n_iters, opt_state=state.opt_state,
         )
     return family, mcfg, state.params, last_psnr
 

@@ -72,11 +72,9 @@ def make_train_step(
     forward_fn: Callable[..., RenderResult],
     train_cfg: TrainStageConfig,
     *,
-    n_rand: int | None = None,
     world_size_max: float = 128.0,
     tv_axis_scale: tuple | None = None,
     near_thres: float = 0.0,
-    donate: bool = True,
     tv_fused: Callable | None = None,
 ):
     """Build the jitted step.
@@ -349,6 +347,19 @@ class HostRayStoreSampler:
         self._rng = np.random.default_rng(seed)
         self._perm = None
         self._cursor = 0
+
+    def fast_forward(self, n_steps: int) -> None:
+        """Advance the RNG stream past `n_steps` draws without materializing
+        batches — on resume, the sampler then yields the same batches the
+        uninterrupted run would at steps > n_steps."""
+        for _ in range(int(n_steps)):
+            if self.mode == "random":
+                self._rng.integers(0, self.n_total, size=self.n_rand)
+            else:
+                if self._perm is None or self._cursor + self.n_rand > self.n_total:
+                    self._perm = self._rng.permutation(self.n_total)
+                    self._cursor = 0
+                self._cursor += self.n_rand
 
     def next_batch(self) -> dict:
         if self.mode == "random":
