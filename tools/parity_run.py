@@ -263,7 +263,10 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
         )
         loss_t = ((rgb_t - torch.tensor(GT[idx])) ** 2).mean()
         loss_t.backward()
-        opt.step(float(lr_decay_scale(step, tcfg.lrate_decay)))
+        # step 1 trains at the undecayed base lr (the reference decays AFTER
+        # each update, run_train.py:292-296) — matches make_train_step's
+        # lr_anchor=1 default
+        opt.step(float(lr_decay_scale(step - 1, tcfg.lrate_decay)))
         if step % 50 == 0 or step == steps:
             log(
                 f"step {step:4d}: jax psnr "

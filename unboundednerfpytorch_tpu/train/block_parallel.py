@@ -191,11 +191,21 @@ def run_train_blocks_parallel(
     }
     n_rand = cfg_train.N_rand
 
-    def compile_vstep(mcfg):
+    # lr-decay semantics mirror loop.py: decay re-anchors to the base lr at
+    # every pg boundary (run_train.py:199), and FourierGrid-on-tankstemple
+    # never decays (run_train.py:292)
+    lr_decay_enabled = not (
+        cfg.model == "FourierGrid" and cfg.data.dataset_type == "tankstemple"
+    )
+    lr_anchor = max([1] + [int(b) for b in cfg_train.pg_scale
+                           if int(b) <= start_step])
+
+    def compile_vstep(mcfg, lr_anchor_now):
         fwd = loop_mod.make_forward(family, mcfg, render_kwargs)
         step1 = make_train_step(
             fwd, cfg_train,
             world_size_max=float(max(mcfg.world_size)),
+            lr_anchor=lr_anchor_now, lr_decay_enabled=lr_decay_enabled,
         )
 
         def one_block(state, store_b, nvalid_b, key):
@@ -217,7 +227,7 @@ def run_train_blocks_parallel(
         deferred_budget = mcfg.sample_budget
         mcfg = dataclasses.replace(mcfg, sample_budget=0)
 
-    vstep = compile_vstep(mcfg)
+    vstep = compile_vstep(mcfg, lr_anchor)
     base_key = jax.random.PRNGKey(seed)
 
     pg_steps = set(int(s) for s in (cfg_train.pg_scale or ()))
@@ -265,7 +275,8 @@ def run_train_blocks_parallel(
                 ]
             )
             state = jax.tree.map(lambda x: jax.device_put(x, shard), state)
-            vstep = compile_vstep(mcfg)
+            lr_anchor = step
+            vstep = compile_vstep(mcfg, lr_anchor)
             log_fn(f"block-parallel: pg_scale at {step} -> {mcfg.world_size}")
 
         k_step = jax.random.fold_in(base_key, step)

@@ -203,11 +203,14 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
         from unboundednerfpytorch_tpu.models import dcvgo
 
         def fwd(params, ro, rd, vd, key, img_index=None, cache=cache):
+            # rand_bkgd is train-time only in the reference (dcvgo.py:350
+            # gates on is_train) — render paths omit it from render_kwargs
             return dcvgo.forward(
                 params, mcfg, ro, rd, vd,
                 near=render_kwargs["near"],
                 stepsize=render_kwargs["stepsize"],
                 bg=render_kwargs["bg"],
+                rand_bkgd_key=key if render_kwargs.get("rand_bkgd") else None,
                 cache=cache,
             )
 
@@ -216,10 +219,13 @@ def make_forward(family: str, mcfg, render_kwargs: dict, cache=None) -> Callable
         from unboundednerfpytorch_tpu.models import dmpigo
 
         def fwd(params, ro, rd, vd, key, img_index=None, cache=cache):
+            # rand_bkgd is train-time only (dmpigo.py:315 gates on
+            # global_step) — render paths omit it from render_kwargs
             return dmpigo.forward(
                 params, mcfg, ro, rd, vd,
                 stepsize=render_kwargs["stepsize"],
                 bg=render_kwargs["bg"],
+                rand_bkgd_key=key if render_kwargs.get("rand_bkgd") else None,
                 cache=cache,
             )
 
@@ -537,7 +543,20 @@ def scene_rep_reconstruction(
     else:
         store = place(store)
 
-    def compile_step(mcfg_now):
+    # the reference never decays the lr for FourierGrid on the bounded
+    # tankstemple dataset (run_train.py:292: decay unless model=='FourierGrid'
+    # and dataset_type=='tankstemple')
+    lr_decay_enabled = not (
+        cfg.model == "FourierGrid" and cfg.data.dataset_type == "tankstemple"
+    )
+    # lr-decay anchor: the reference decays AFTER each update and rebuilds
+    # the optimizer at full base lr at every pg_scale boundary
+    # (run_train.py:199,292-296); resume reconstructs the uninterrupted
+    # anchor (the last boundary at or before start_step)
+    lr_anchor = max([1] + [int(b) for b in cfg_train.pg_scale
+                           if int(b) <= start_step])
+
+    def compile_step(mcfg_now, lr_anchor_now):
         fwd = make_forward(family, mcfg_now, render_kwargs)
         ws_max = float(max(mcfg_now.world_size))
         tv_axis_scale = None
@@ -559,6 +578,7 @@ def scene_rep_reconstruction(
         core = make_train_step(
             fwd, cfg_train, world_size_max=ws_max, near_thres=near_thres,
             tv_axis_scale=tv_axis_scale, tv_fused=tv_fused,
+            lr_anchor=lr_anchor_now, lr_decay_enabled=lr_decay_enabled,
         )
         if use_host_store:
             jitted = jax.jit(core, donate_argnums=(0,))
@@ -594,7 +614,7 @@ def scene_rep_reconstruction(
         sstep = make_sampled_step(core, cfg_train.N_rand, mesh=mesh)
         return lambda state, k_step: sstep(state, store, k_step)
 
-    step_fn = compile_step(mcfg)
+    step_fn = compile_step(mcfg, lr_anchor)
 
     psnr_hist: list[float] = []
     last_psnr = 0.0
@@ -630,7 +650,7 @@ def scene_rep_reconstruction(
             new_thres = float(thres_schedule[global_step])
             if new_thres != mcfg.fast_color_thres:
                 mcfg = dataclasses.replace(mcfg, fast_color_thres=new_thres)
-                step_fn = compile_step(mcfg)
+                step_fn = compile_step(mcfg, lr_anchor)
         if global_step in pg_scale:
             n_rest = len(pg_scale) - pg_scale.index(global_step) - 1
             cur_vox_density = int(cfg_model.num_voxels_density / (2**n_rest))
@@ -646,10 +666,13 @@ def scene_rep_reconstruction(
                 mcfg = dataclasses.replace(mcfg, sample_budget=deferred_budget)
                 deferred_budget = 0
             # optimizer rebuilt from scratch at the boundary (run_train.py:199)
+            # — which also resets the lr decay to the base lr (the factory
+            # is called with global_step=0): re-anchor the decay here
+            lr_anchor = global_step
             state = place(
                 create_train_state(params, cfg_train, start_step=global_step - 1)
             )
-            step_fn = compile_step(mcfg)
+            step_fn = compile_step(mcfg, lr_anchor)
 
         # fold_in (not sequential splits): step s gets the same key whether or
         # not the run was interrupted, so kill-and-resume reproduces the exact

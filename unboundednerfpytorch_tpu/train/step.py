@@ -76,6 +76,8 @@ def make_train_step(
     tv_axis_scale: tuple | None = None,
     near_thres: float = 0.0,
     tv_fused: Callable | None = None,
+    lr_anchor: int = 1,
+    lr_decay_enabled: bool = True,
 ):
     """Build the jitted step.
 
@@ -86,6 +88,13 @@ def make_train_step(
       world_size_max: max(model world_size) — the TV weight multiplier
         ``weight * world_size.max()/128`` (dvgo.py:279-285).
       near_thres: near-clip threshold in contracted units (0 disables).
+      lr_anchor: the step at which the lr equals the base lr. The reference
+        decays AFTER each update (run_train.py:292-296), so step 1 trains at
+        the undecayed lr (anchor=1) — and it rebuilds the optimizer with
+        ``global_step=0`` at every pg_scale boundary (run_train.py:199),
+        resetting the decay: the driver passes the last boundary crossed.
+      lr_decay_enabled: False skips lr decay entirely — the reference's
+        FourierGrid-on-tankstemple quirk (run_train.py:292).
       tv_fused: optional fused TV-injection op
         f(param_grid, grad_grid, wx, wy, wz, gate, dense) -> new grad_grid
         (ops/pallas/tv.make_tv_fused on TPU: one HBM pass instead of the
@@ -192,9 +201,13 @@ def make_train_step(
         n_rays = batch["rgb"].shape[0]
         grads = add_tv_grads(dict(grads), trainable, step, n_rays)
 
-        lr_scale = factory.lr_decay_scale(
-            step.astype(jnp.float32), train_cfg.lrate_decay
-        )
+        if lr_decay_enabled:
+            lr_scale = factory.lr_decay_scale(
+                jnp.maximum(step - lr_anchor, 0).astype(jnp.float32),
+                train_cfg.lrate_decay,
+            )
+        else:
+            lr_scale = 1.0
         new_trainable, new_opt = masked_adam.update(
             trainable, grads, state.opt_state, hyper,
             lr_scale=lr_scale, per_lr=state.per_lr,
