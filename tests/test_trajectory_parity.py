@@ -34,3 +34,14 @@ def test_trajectory_parity_tiny():
     assert out["delta_db"] <= 0.1
     # both sides actually learned something (not matching at noise level)
     assert out["psnr_jax"] > 14.0, out
+
+
+def test_trajectory_parity_fourier_tiny():
+    """Flagship FourierGrid recipe: contracted sampling + 2K+1 Fourier banks
+    + packed-corner gathers + masked Adam vs the independent torch mirror."""
+    mod = _load_parity_run()
+    out = mod.run_trajectory_parity_fourier(
+        steps=60, n_rand=512, tol_db=0.1, log=lambda *a: None
+    )
+    assert out["delta_db"] <= 0.1
+    assert out["psnr_jax"] > 18.0, out

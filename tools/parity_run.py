@@ -151,6 +151,27 @@ class _TorchMaskedAdam:
 # ---------------------------------------------------------------------------
 
 
+def _flatten_rays(data):
+    """Flatten a data_dict's training views into ray/rgb stores (numpy)."""
+    import jax.numpy as jnp
+
+    from unboundednerfpytorch_tpu.ops import rays as ray_ops
+
+    ro_l, rd_l, vd_l, rgb_l = [], [], [], []
+    for i in data["i_train"]:
+        H, W = (int(v) for v in data["HW"][i])
+        ro, rd, vd = ray_ops.get_rays_of_a_view(
+            H, W, jnp.asarray(data["Ks"][i]),
+            jnp.asarray(data["poses"][i][:3, :4]),
+        )
+        ro_l.append(np.asarray(ro).reshape(-1, 3))
+        rd_l.append(np.asarray(rd).reshape(-1, 3))
+        vd_l.append(np.asarray(vd).reshape(-1, 3))
+        rgb_l.append(np.asarray(data["images"][i]).reshape(-1, 3))
+    return (np.concatenate(ro_l), np.concatenate(rd_l),
+            np.concatenate(vd_l), np.concatenate(rgb_l))
+
+
 def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
                           tol_db: float = 0.1, log=print) -> dict:
     """Train torch-reference and framework on identical data/batches; return
@@ -163,7 +184,6 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
     from unboundednerfpytorch_tpu.configs.schema import TrainStageConfig
     from unboundednerfpytorch_tpu.data import synthetic
     from unboundednerfpytorch_tpu.models import dvgo
-    from unboundednerfpytorch_tpu.ops import rays as ray_ops
     from unboundednerfpytorch_tpu.ops import sampling as S_ops
     from unboundednerfpytorch_tpu.optim.factory import lr_decay_scale
     from unboundednerfpytorch_tpu.train.step import create_train_state, make_train_step
@@ -172,19 +192,7 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
 
     # --- shared data: synthetic sphere scene, flattened ray store ----------
     data = synthetic.make_data_dict(n_views=8, H=48, W=48)
-    ro_l, rd_l, vd_l, rgb_l = [], [], [], []
-    for i in data["i_train"]:
-        H, W = (int(v) for v in data["HW"][i])
-        ro, rd, vd = ray_ops.get_rays_of_a_view(
-            H, W, jnp.asarray(data["Ks"][i]),
-            jnp.asarray(data["poses"][i][:3, :4]),
-        )
-        ro_l.append(np.asarray(ro).reshape(-1, 3))
-        rd_l.append(np.asarray(rd).reshape(-1, 3))
-        vd_l.append(np.asarray(vd).reshape(-1, 3))
-        rgb_l.append(np.asarray(data["images"][i]).reshape(-1, 3))
-    RO, RD = np.concatenate(ro_l), np.concatenate(rd_l)
-    VD, GT = np.concatenate(vd_l), np.concatenate(rgb_l)
+    RO, RD, VD, GT = _flatten_rays(data)
 
     cfg = dvgo.DVGOConfig(
         xyz_min=(-1.6, -1.6, -1.6), xyz_max=(1.6, 1.6, 1.6),
@@ -307,6 +315,216 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
 
 
 # ---------------------------------------------------------------------------
+# trajectory parity — flagship FourierGrid model
+# ---------------------------------------------------------------------------
+
+
+def _torch_fourier_query(grid_bxyzc, xyz_m11, num_freqs):
+    """Reference Fourier-bank query in torch: positional-embed the FLIPPED
+    normalized coords into 2K+1 per-bank grid_sample coordinates, mean over
+    banks (FourierGrid_grid.py:60-78). grid [B,X,Y,Z,C]; xyz in [-1,1]."""
+    import torch
+    import torch.nn.functional as F
+
+    B, C = grid_bxyzc.shape[0], grid_bxyzc.shape[-1]
+    lead = xyz_m11.shape[:-1]
+    M = int(np.prod(lead))
+    # grid_sample's x coordinate indexes the LAST axis of [B,C,X,Y,Z], so the
+    # zyx flip reproduces xyz-major indexing of the [X,Y,Z] layout
+    ind = xyz_m11.reshape(M, 3).flip(-1)
+    banks = [ind]
+    freqs = 2 ** torch.arange(num_freqs, dtype=torch.float32)
+    for k in range(num_freqs):
+        banks.append(torch.sin(freqs[k] * ind))
+        banks.append(torch.cos(freqs[k] * ind))
+    g = grid_bxyzc.permute(0, 4, 1, 2, 3)
+    out = 0
+    for b in range(B):
+        coords = banks[b].reshape(1, 1, 1, M, 3)
+        v = F.grid_sample(g[b : b + 1], coords, mode="bilinear",
+                          align_corners=True)
+        out = out + v.reshape(C, M).T
+    return (out / B).reshape(*lead, C)
+
+
+def _torch_scan(alpha, early_exit=1e-3):
+    """Transmittance scan with the CUDA early exit
+    (render_utils_kernel.cu:592-601): returns (weights, alphainv_last)."""
+    import torch
+
+    one_minus = 1.0 - alpha
+    t_incl = torch.cumprod(one_minus, dim=-1)
+    t_excl = torch.cat([torch.ones_like(t_incl[..., :1]), t_incl[..., :-1]], -1)
+    processed = t_excl >= early_exit
+    weights = t_excl * alpha * processed.to(alpha.dtype)
+    any_stop = (~processed).any(-1)
+    first_stop = (~processed).to(torch.int64).argmax(-1)
+    t_at_stop = torch.gather(t_excl, -1, first_stop[..., None])[..., 0]
+    alphainv = torch.where(any_stop, t_at_stop, t_incl[..., -1])
+    return weights, alphainv
+
+
+def _torch_fg_forward(d_grid, k_grid, mlp, pts, viewdirs, act_shift,
+                      interval, viewbase_pe, bg, half_extent, num_freqs):
+    """FourierGrid forward in torch (FourierGrid_model.py:554-672): Fourier
+    bank queries on CONTRACTED points (shared geometry), softplus density
+    activation, early-exit scan, viewdir-PE MLP head. Differentiable."""
+    import torch
+
+    N, S, _ = pts.shape
+    norm = pts / half_extent  # symmetric bbox ±(1+bg_len) -> [-1,1]
+    density = _torch_fourier_query(d_grid, norm, num_freqs)[..., 0]
+    softplus = torch.nn.functional.softplus(density + act_shift)
+    alpha = 1.0 - torch.exp(-softplus * interval)
+    weights, alphainv = _torch_scan(alpha)
+
+    k0 = _torch_fourier_query(k_grid, norm, num_freqs)
+    freqs = 2 ** torch.arange(viewbase_pe, dtype=torch.float32)
+    emb = (viewdirs[..., None] * freqs).reshape(N, -1)
+    vemb = torch.cat([viewdirs, emb.sin(), emb.cos()], -1)
+    feat = torch.cat(
+        [k0, vemb[:, None, :].expand(N, S, vemb.shape[-1])], -1
+    )
+    h = feat
+    n_layers = len(mlp) // 2
+    for i in range(n_layers):
+        h = h @ mlp[2 * i] + mlp[2 * i + 1]
+        if i < n_layers - 1:
+            h = torch.relu(h)
+    rgb = torch.sigmoid(h)
+    return torch.einsum("ns,nsc->nc", weights, rgb) + alphainv[:, None] * bg
+
+
+def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
+                                  tol_db: float = 0.1, log=print) -> dict:
+    """The flagship-model analog of :func:`run_trajectory_parity`: trains the
+    production FourierGrid step (contracted sampling + 2K+1 Fourier banks +
+    packed-corner gathers + masked Adam) and an independent torch mirror on
+    identical batches; held-out PSNR must agree within ``tol_db``."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from unboundednerfpytorch_tpu.configs.schema import TrainStageConfig
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.models import fourier_grid as fg
+    from unboundednerfpytorch_tpu.optim.factory import lr_decay_scale
+    from unboundednerfpytorch_tpu.train.step import create_train_state, make_train_step
+
+    torch.manual_seed(0)
+    data = synthetic.make_data_dict(n_views=8, H=48, W=48)
+    RO, RD, VD, GT = _flatten_rays(data)
+
+    cfg = fg.FourierGridConfig(
+        scene_center=(0.0, 0.0, 0.0), scene_radius=(3.0, 3.0, 3.0),
+        num_voxels_density=24**3, num_voxels_rgb=24**3,
+        num_voxels_base_density=24**3, num_voxels_base_rgb=24**3,
+        alpha_init=1e-2, fast_color_thres=0.0, bg_len=0.2,
+        fourier_freq_num=2, rgbnet_dim=6, rgbnet_depth=3, rgbnet_width=32,
+        stepsize=0.5, t_boundary=2.0, sample_budget=0,
+    )
+    bg = 1.0
+    interval = cfg.stepsize * cfg.voxel_size_ratio_density
+    params = fg.create(cfg, jax.random.PRNGKey(0))
+
+    tcfg = TrainStageConfig(
+        N_iters=steps, N_rand=n_rand, lrate_decay=20, pervoxel_lr=False,
+        weight_main=1.0, weight_entropy_last=0.0, weight_rgbper=0.0,
+        weight_tv_density=0.0, weight_tv_k0=0.0,
+        skip_zero_grad_fields=("density", "k0"),
+    )
+
+    # identical init on both sides
+    t_d = torch.tensor(np.asarray(params.density.grid)).requires_grad_()
+    t_k = torch.tensor(np.asarray(params.k0.grid)).requires_grad_()
+    t_mlp = []
+    for w, b in zip(params.rgbnet.weights, params.rgbnet.biases):
+        t_mlp += [
+            torch.tensor(np.asarray(w)).requires_grad_(),
+            torch.tensor(np.asarray(b)).requires_grad_(),
+        ]
+    opt = _TorchMaskedAdam(
+        [(t_d, tcfg.lrate_density, True), (t_k, tcfg.lrate_k0, True)]
+        + [(p, tcfg.lrate_rgbnet, False) for p in t_mlp]
+    )
+
+    # framework side: the production train step over the production forward
+    def fwd(p, ro, rd, vd, key, img_index=None):
+        return fg.forward(p, cfg, ro, rd, vd, bg=bg)
+
+    step_fn = jax.jit(make_train_step(
+        fwd, tcfg, world_size_max=float(max(cfg.world_size)),
+    ))
+    state = create_train_state(params, tcfg)
+
+    # shared sample geometry: contracted points from the production sampler
+    # (contraction parity is gated separately in tests/test_ops_golden.py;
+    # sharing isolates the trajectory to banks/scan/head/losses/optimizer)
+    geom = jax.jit(lambda ro, rd: fg.sample_ray(cfg, ro, rd)[0])
+    half_extent = 1.0 + cfg.bg_len
+    act_shift = float(cfg.act_shift)
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    for step in range(1, steps + 1):
+        idx = rng.integers(0, RO.shape[0], size=n_rand)
+        batch = {
+            "rgb": jnp.asarray(GT[idx]),
+            "rays_o": jnp.asarray(RO[idx]),
+            "rays_d": jnp.asarray(RD[idx]),
+            "viewdirs": jnp.asarray(VD[idx]),
+        }
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
+
+        pts = np.asarray(geom(batch["rays_o"], batch["rays_d"]))
+        rgb_t = _torch_fg_forward(
+            t_d, t_k, t_mlp, torch.tensor(pts), torch.tensor(VD[idx]),
+            act_shift, float(interval), cfg.viewbase_pe, bg,
+            half_extent, cfg.fourier_freq_num,
+        )
+        loss_t = ((rgb_t - torch.tensor(GT[idx])) ** 2).mean()
+        loss_t.backward()
+        opt.step(float(lr_decay_scale(step - 1, tcfg.lrate_decay)))
+        if step % 50 == 0 or step == steps:
+            log(
+                f"step {step:4d}: jax psnr "
+                f"{float(metrics['psnr']):5.2f} / torch mse->psnr "
+                f"{-10 * np.log10(float(loss_t.detach())):5.2f} "
+                f"({time.time() - t0:5.1f}s)"
+            )
+
+    eval_idx = np.random.default_rng(7).integers(0, RO.shape[0], size=4096)
+    res = fwd(state.params, jnp.asarray(RO[eval_idx]),
+              jnp.asarray(RD[eval_idx]), jnp.asarray(VD[eval_idx]), None)
+    mse_j = float(jnp.mean((res.rgb_marched - jnp.asarray(GT[eval_idx])) ** 2))
+    pts = np.asarray(geom(jnp.asarray(RO[eval_idx]), jnp.asarray(RD[eval_idx])))
+    with torch.no_grad():
+        rgb_t = _torch_fg_forward(
+            t_d, t_k, t_mlp, torch.tensor(pts), torch.tensor(VD[eval_idx]),
+            act_shift, float(interval), cfg.viewbase_pe, bg,
+            half_extent, cfg.fourier_freq_num,
+        )
+        mse_t = float(((rgb_t - torch.tensor(GT[eval_idx])) ** 2).mean())
+    psnr_j = -10 * np.log10(mse_j)
+    psnr_t = -10 * np.log10(mse_t)
+    delta = abs(psnr_j - psnr_t)
+    out = {
+        "model": "fourier_grid",
+        "psnr_torch": round(psnr_t, 3),
+        "psnr_jax": round(psnr_j, 3),
+        "delta_db": round(delta, 4),
+        "steps": steps,
+    }
+    log(json.dumps(out))
+    assert delta <= tol_db, (
+        f"fourier trajectory parity FAILED: |{psnr_j:.3f} - {psnr_t:.3f}| = "
+        f"{delta:.3f} dB > {tol_db} dB"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # real-data runs
 # ---------------------------------------------------------------------------
 
@@ -348,13 +566,18 @@ def main(argv=None) -> int:
     ap.add_argument("--n_rand", type=int, default=1024)
     ap.add_argument("--tol_db", type=float, default=0.1)
     ap.add_argument("--real", action="store_true")
+    ap.add_argument("--model", default="dvgo", choices=["dvgo", "fourier"],
+                    help="trajectory-parity recipe: dvgo (bounded) or "
+                         "fourier (flagship contracted FourierGrid)")
     ap.add_argument("--data_root", default="data")
     ap.add_argument("--scenes", nargs="*", default=["lego", "garden", "truck"],
                     choices=sorted(_SCENES))
     args = ap.parse_args(argv)
     if args.real:
         return run_real(args.data_root, args.scenes)
-    run_trajectory_parity(args.steps, args.n_rand, args.tol_db)
+    fn = (run_trajectory_parity_fourier if args.model == "fourier"
+          else run_trajectory_parity)
+    fn(args.steps, args.n_rand, args.tol_db)
     return 0
 
 
