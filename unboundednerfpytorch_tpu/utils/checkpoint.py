@@ -95,7 +95,19 @@ def load_model(path: str, key=None):
     """Re-instantiate from the checkpoint alone (utils.py:70-74 semantics).
 
     Returns (family, cfg, params, global_step, opt_state_or_None).
+
+    A reference torch ``.tar`` checkpoint is accepted transparently (converted
+    in memory via :mod:`utils.reference_import`), so ``--ft_path
+    fine_last.tar`` migrates a reference run without an explicit conversion
+    step; optimizer state is not carried over in that case.
     """
+    if os.path.isfile(path) and path.endswith(".tar"):
+        from unboundednerfpytorch_tpu.utils.reference_import import (
+            import_checkpoint,
+        )
+
+        family, cfg, params, step = import_checkpoint(path)
+        return family, cfg, params, step, None
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     family = meta["family"]
