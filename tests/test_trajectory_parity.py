@@ -45,3 +45,15 @@ def test_trajectory_parity_fourier_tiny():
     )
     assert out["delta_db"] <= 0.1
     assert out["psnr_jax"] > 18.0, out
+
+
+def test_trajectory_parity_fourier_loss_zoo():
+    """Same recipe with the FULL production loss assembly live on both sides:
+    entropy_last + rgbper (detached weights) + prefix-sum distortion + TV
+    gradient injection (dense AND sparse modes across tv_dense_before)."""
+    mod = _load_parity_run()
+    out = mod.run_trajectory_parity_fourier(
+        steps=60, n_rand=512, tol_db=0.1, log=lambda *a: None, loss_zoo=True
+    )
+    assert out["delta_db"] <= 0.1
+    assert out["psnr_jax"] > 18.0, out

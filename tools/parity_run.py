@@ -365,7 +365,8 @@ def _torch_scan(alpha, early_exit=1e-3):
 
 
 def _torch_fg_forward(d_grid, k_grid, mlp, pts, viewdirs, act_shift,
-                      interval, viewbase_pe, bg, half_extent, num_freqs):
+                      interval, viewbase_pe, bg, half_extent, num_freqs,
+                      full_output=False):
     """FourierGrid forward in torch (FourierGrid_model.py:554-672): Fourier
     bank queries on CONTRACTED points (shared geometry), softplus density
     activation, early-exit scan, viewdir-PE MLP head. Differentiable."""
@@ -392,15 +393,53 @@ def _torch_fg_forward(d_grid, k_grid, mlp, pts, viewdirs, act_shift,
         if i < n_layers - 1:
             h = torch.relu(h)
     rgb = torch.sigmoid(h)
-    return torch.einsum("ns,nsc->nc", weights, rgb) + alphainv[:, None] * bg
+    marched = torch.einsum("ns,nsc->nc", weights, rgb) + alphainv[:, None] * bg
+    if full_output:
+        return marched, weights, alphainv, rgb
+    return marched
+
+
+def _torch_tv_grad(param, wx, wy, wz, dense, existing_grad):
+    """The reference TV gradient injection in torch
+    (total_variation_kernel.cu:13-47): clamped ±1 directional diffs /6 per
+    axis; sparse mode touches only voxels whose grad is already nonzero."""
+    import torch
+
+    def axis(a, ax, w):
+        n = param.shape[ax]
+        lo = param.narrow(ax, 0, n - 1)
+        hi = param.narrow(ax, 1, n - 1)
+        diff = torch.clamp(lo - hi, -1.0, 1.0)
+        # pad along `ax`: grad[i] += w*diff_i (i<n-1); grad[i+1] -= w*diff_i
+        z = torch.zeros_like(param.narrow(ax, 0, 1))
+        g_lo = torch.cat([diff, z], dim=ax)
+        g_hi = torch.cat([z, diff], dim=ax)
+        return w * (g_lo - g_hi)
+
+    nd = param.ndim
+    g = (
+        axis(param, nd - 4, wx / 6.0)
+        + axis(param, nd - 3, wy / 6.0)
+        + axis(param, nd - 2, wz / 6.0)
+    )
+    if not dense:
+        g = torch.where(existing_grad != 0, g, torch.zeros_like(g))
+    return g
 
 
 def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
-                                  tol_db: float = 0.1, log=print) -> dict:
+                                  tol_db: float = 0.1, log=print,
+                                  loss_zoo: bool = False) -> dict:
     """The flagship-model analog of :func:`run_trajectory_parity`: trains the
     production FourierGrid step (contracted sampling + 2K+1 Fourier banks +
     packed-corner gathers + masked Adam) and an independent torch mirror on
-    identical batches; held-out PSNR must agree within ``tol_db``."""
+    identical batches; held-out PSNR must agree within ``tol_db``.
+
+    ``loss_zoo=True`` additionally enables the full production loss assembly
+    — entropy_last, rgbper (detached-weight), prefix-sum distortion, and the
+    TV gradient injection between backward and the optimizer step
+    (run_train.py:254-287), incl. the dense→sparse tv_dense_before switch —
+    each mirrored independently in torch."""
     import torch
 
     import jax
@@ -428,11 +467,18 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
     interval = cfg.stepsize * cfg.voxel_size_ratio_density
     params = fg.create(cfg, jax.random.PRNGKey(0))
 
+    zoo = dict(
+        weight_entropy_last=1e-2, weight_rgbper=1e-2, weight_distortion=1e-2,
+        weight_tv_density=1e-4, weight_tv_k0=1e-5,
+        tv_every=1, tv_after=-1, tv_before=10**9,
+        tv_dense_before=steps // 2,  # exercise BOTH dense and sparse modes
+    ) if loss_zoo else dict(
+        weight_entropy_last=0.0, weight_rgbper=0.0,
+        weight_tv_density=0.0, weight_tv_k0=0.0,
+    )
     tcfg = TrainStageConfig(
         N_iters=steps, N_rand=n_rand, lrate_decay=20, pervoxel_lr=False,
-        weight_main=1.0, weight_entropy_last=0.0, weight_rgbper=0.0,
-        weight_tv_density=0.0, weight_tv_k0=0.0,
-        skip_zero_grad_fields=("density", "k0"),
+        weight_main=1.0, skip_zero_grad_fields=("density", "k0"), **zoo,
     )
 
     # identical init on both sides
@@ -461,9 +507,10 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
     # shared sample geometry: contracted points from the production sampler
     # (contraction parity is gated separately in tests/test_ops_golden.py;
     # sharing isolates the trajectory to banks/scan/head/losses/optimizer)
-    geom = jax.jit(lambda ro, rd: fg.sample_ray(cfg, ro, rd)[0])
+    geom = jax.jit(lambda ro, rd: fg.sample_ray(cfg, ro, rd)[:3:2])  # pts, t
     half_extent = 1.0 + cfg.bg_len
     act_shift = float(cfg.act_shift)
+    ws_max = float(max(cfg.world_size))
 
     rng = np.random.default_rng(42)
     t0 = time.time()
@@ -477,20 +524,66 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
         }
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
 
-        pts = np.asarray(geom(batch["rays_o"], batch["rays_d"]))
-        rgb_t = _torch_fg_forward(
-            t_d, t_k, t_mlp, torch.tensor(pts), torch.tensor(VD[idx]),
-            act_shift, float(interval), cfg.viewbase_pe, bg,
-            half_extent, cfg.fourier_freq_num,
+        pts, tvals = geom(batch["rays_o"], batch["rays_d"])
+        tgt = torch.tensor(GT[idx])
+        out = _torch_fg_forward(
+            t_d, t_k, t_mlp, torch.tensor(np.asarray(pts)),
+            torch.tensor(VD[idx]), act_shift, float(interval),
+            cfg.viewbase_pe, bg, half_extent, cfg.fourier_freq_num,
+            full_output=loss_zoo,
         )
-        loss_t = ((rgb_t - torch.tensor(GT[idx])) ** 2).mean()
+        if loss_zoo:
+            rgb_m, w_t, ainv_t, rgb_raw = out
+            S = w_t.shape[-1]
+            mse_t = ((rgb_m - tgt) ** 2).mean()
+            p = torch.clamp(ainv_t, 1e-6, 1.0 - 1e-6)
+            ent = -(p * torch.log(p) + (1 - p) * torch.log(1 - p)).mean()
+            per = ((rgb_raw - tgt[:, None, :]) ** 2).sum(-1)
+            rgbper_l = (per * w_t.detach()).sum() / n_rand
+            s2 = (1.0 - 1.0 / (1.0 + torch.tensor(np.asarray(tvals))))[
+                None, :
+            ].expand_as(w_t)
+            w_pre = torch.cumsum(w_t, -1) - w_t
+            ws_pre = torch.cumsum(w_t * s2, -1) - w_t * s2
+            dist = (
+                (2 * w_t * (s2 * w_pre - ws_pre)).sum()
+                + ((1.0 / 3.0) * (1.0 / S) * w_t**2).sum()
+            ) / n_rand
+            loss_t = (
+                mse_t
+                + tcfg.weight_entropy_last * ent
+                + tcfg.weight_rgbper * rgbper_l
+                + tcfg.weight_distortion * dist
+            )
+        else:
+            loss_t = ((out - tgt) ** 2).mean()
         loss_t.backward()
+        if loss_zoo:
+            # TV gradient injection between backward and the optimizer step
+            # (run_train.py:281-287 / train/step.py add_tv_grads)
+            gate = (
+                step < tcfg.tv_before
+                and step > tcfg.tv_after
+                and step % tcfg.tv_every == 0
+            )
+            dense = step < tcfg.tv_dense_before
+            if gate:
+                with torch.no_grad():
+                    for par, weight in (
+                        (t_d, tcfg.weight_tv_density),
+                        (t_k, tcfg.weight_tv_k0),
+                    ):
+                        bw = weight / n_rand * ws_max / 128.0
+                        par.grad += _torch_tv_grad(
+                            par, bw, bw, bw, dense, par.grad
+                        )
         opt.step(float(lr_decay_scale(step - 1, tcfg.lrate_decay)))
         if step % 50 == 0 or step == steps:
+            mse_log = float((mse_t if loss_zoo else loss_t).detach())
             log(
                 f"step {step:4d}: jax psnr "
                 f"{float(metrics['psnr']):5.2f} / torch mse->psnr "
-                f"{-10 * np.log10(float(loss_t.detach())):5.2f} "
+                f"{-10 * np.log10(mse_log):5.2f} "
                 f"({time.time() - t0:5.1f}s)"
             )
 
@@ -498,19 +591,20 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
     res = fwd(state.params, jnp.asarray(RO[eval_idx]),
               jnp.asarray(RD[eval_idx]), jnp.asarray(VD[eval_idx]), None)
     mse_j = float(jnp.mean((res.rgb_marched - jnp.asarray(GT[eval_idx])) ** 2))
-    pts = np.asarray(geom(jnp.asarray(RO[eval_idx]), jnp.asarray(RD[eval_idx])))
+    pts, _ = geom(jnp.asarray(RO[eval_idx]), jnp.asarray(RD[eval_idx]))
     with torch.no_grad():
         rgb_t = _torch_fg_forward(
-            t_d, t_k, t_mlp, torch.tensor(pts), torch.tensor(VD[eval_idx]),
-            act_shift, float(interval), cfg.viewbase_pe, bg,
-            half_extent, cfg.fourier_freq_num,
+            t_d, t_k, t_mlp, torch.tensor(np.asarray(pts)),
+            torch.tensor(VD[eval_idx]), act_shift, float(interval),
+            cfg.viewbase_pe, bg, half_extent, cfg.fourier_freq_num,
         )
-        mse_t = float(((rgb_t - torch.tensor(GT[eval_idx])) ** 2).mean())
+        mse_e = float(((rgb_t - torch.tensor(GT[eval_idx])) ** 2).mean())
     psnr_j = -10 * np.log10(mse_j)
-    psnr_t = -10 * np.log10(mse_t)
+    psnr_t = -10 * np.log10(mse_e)
     delta = abs(psnr_j - psnr_t)
     out = {
         "model": "fourier_grid",
+        "loss_zoo": loss_zoo,
         "psnr_torch": round(psnr_t, 3),
         "psnr_jax": round(psnr_j, 3),
         "delta_db": round(delta, 4),
@@ -569,15 +663,20 @@ def main(argv=None) -> int:
     ap.add_argument("--model", default="dvgo", choices=["dvgo", "fourier"],
                     help="trajectory-parity recipe: dvgo (bounded) or "
                          "fourier (flagship contracted FourierGrid)")
+    ap.add_argument("--loss_zoo", action="store_true",
+                    help="fourier only: enable entropy/rgbper/distortion "
+                         "losses + TV gradient injection on both sides")
     ap.add_argument("--data_root", default="data")
     ap.add_argument("--scenes", nargs="*", default=["lego", "garden", "truck"],
                     choices=sorted(_SCENES))
     args = ap.parse_args(argv)
     if args.real:
         return run_real(args.data_root, args.scenes)
-    fn = (run_trajectory_parity_fourier if args.model == "fourier"
-          else run_trajectory_parity)
-    fn(args.steps, args.n_rand, args.tol_db)
+    if args.model == "fourier":
+        run_trajectory_parity_fourier(args.steps, args.n_rand, args.tol_db,
+                                      loss_zoo=args.loss_zoo)
+    else:
+        run_trajectory_parity(args.steps, args.n_rand, args.tol_db)
     return 0
 
 
