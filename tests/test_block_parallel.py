@@ -154,6 +154,26 @@ def test_pg_boundary_applies_act_shift_decay_and_deferred_budget(tmp_path, data)
     )
 
 
+def test_pre_boundary_saves_persist_configured_budget(tmp_path, data):
+    """Checkpoints written while the sample budget is deferral-zeroed must
+    persist the CONFIGURED budget (loop.py _save_mcfg semantics): a resumed
+    run reloads mcfg from disk, and a zeroed value would disable the budget
+    for the rest of training."""
+    mr = dataclasses.replace(_cfg().fine_model_and_render, sample_budget=16)
+    tr = dataclasses.replace(
+        _cfg().fine_train, N_iters=2, pg_scale=(5,),  # boundary never reached
+    )
+    cfg = dataclasses.replace(_cfg(), fine_model_and_render=mr, fine_train=tr)
+    paths = bp.run_train_blocks_parallel(
+        cfg, data, block_num=2, exp_dir=str(tmp_path), seed=3,
+        log_fn=lambda *a: None, merge=False,
+    )
+    from unboundednerfpytorch_tpu.utils import checkpoint as ckpt
+
+    _, mcfg, _, _, _ = ckpt.load_model(paths[0])
+    assert mcfg.sample_budget == 16
+
+
 @pytest.mark.slow
 def test_parallel_matches_sequential_loop(tmp_path, data):
     cfg = _cfg(n_iters=5)

@@ -57,3 +57,17 @@ def test_trajectory_parity_fourier_loss_zoo():
     )
     assert out["delta_db"] <= 0.1
     assert out["psnr_jax"] > 18.0, out
+
+
+def test_trajectory_parity_fourier_pg_boundary_with_zoo():
+    """Crossing a progressive-upsampling boundary mid-training — trilinear
+    grid resample, act_shift decay, optimizer rebuilt from scratch, lr decay
+    re-anchored (run_train.py:187-201) — with the loss zoo live, each side
+    mirrored independently."""
+    mod = _load_parity_run()
+    out = mod.run_trajectory_parity_fourier(
+        steps=60, n_rand=512, tol_db=0.1, log=lambda *a: None,
+        loss_zoo=True, pg_boundary=30,
+    )
+    assert out["delta_db"] <= 0.1
+    assert out["psnr_jax"] > 17.0, out

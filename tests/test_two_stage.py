@@ -158,3 +158,31 @@ def test_two_stage_truncation_is_tail_only():
     np.testing.assert_allclose(
         np.asarray(res2.rgb_marched), manual, atol=3e-5, rtol=1e-4
     )
+
+
+def test_two_stage_cache_with_zero_thres_falls_back_exactly():
+    """A two-stage cache rendered with fast_color_thres<=0 must fall through
+    to the single-stage path WITHOUT dereferencing the (None) fused tables —
+    and match the cache-less forward exactly (regression: the thres gate
+    previously sent this into the packed branch and crashed)."""
+    cfg1 = _cfg(fast_color_thres=0.0)
+    params = fg.create(cfg1, jax.random.PRNGKey(0))
+    params = params.replace(
+        density=params.density.replace(
+            grid=params.density.grid
+            + 0.5 * jax.random.normal(
+                jax.random.PRNGKey(3), params.density.grid.shape
+            )
+        )
+    )
+    ro, rd, vd = _rays(32, 2)
+    cfg2 = dataclasses.replace(cfg1, color_budget=48)
+    cache = fg.build_render_cache(params, cfg2)
+    assert cache.tables is None  # two-stage layout: fused tables absent
+    res_nc = fg.forward(params, cfg1, ro, rd, vd, bg=1.0)
+    res_c = fg.forward(params, cfg2, ro, rd, vd, bg=1.0, cache=cache,
+                       fast_color_thres=0.0)
+    np.testing.assert_allclose(
+        np.asarray(res_c.rgb_marched), np.asarray(res_nc.rgb_marched),
+        rtol=1e-5, atol=1e-6,
+    )

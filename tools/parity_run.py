@@ -67,17 +67,7 @@ def _torch_forward(density_grid, k0_grid, mlp, pts01, mask, viewdirs,
     alpha = 1.0 - torch.pow(1.0 + e, -interval)
     alpha = torch.where(mask, alpha, torch.zeros_like(alpha))
 
-    # vectorized scan: w_i = T_excl_i * alpha_i; the CUDA kernel emits the
-    # crossing sample's weight and THEN breaks (render_utils_kernel.cu:592-601)
-    one_minus = 1.0 - alpha
-    t_incl = torch.cumprod(one_minus, dim=-1)
-    t_excl = torch.cat([torch.ones_like(t_incl[..., :1]), t_incl[..., :-1]], -1)
-    processed = t_excl >= 1e-3
-    weights = t_excl * alpha * processed.to(alpha.dtype)
-    any_stop = (~processed).any(-1)
-    first_stop = (~processed).to(torch.int64).argmax(-1)
-    t_at_stop = torch.gather(t_excl, -1, first_stop[..., None])[..., 0]
-    alphainv = torch.where(any_stop, t_at_stop, t_incl[..., -1])
+    weights, alphainv = _torch_scan(alpha)
 
     k0 = sample(k0_grid, pts01)
     freqs = 2 ** torch.arange(viewbase_pe, dtype=torch.float32)
@@ -427,9 +417,22 @@ def _torch_tv_grad(param, wx, wy, wz, dense, existing_grad):
     return g
 
 
+def _torch_resize_banks(grid, new_size):
+    """Trilinear bank-grid resize in torch ([B,X,Y,Z,C] channel-last like the
+    jax side): the reference pg_scale resample (F.interpolate, grid.py:63-68)."""
+    import torch
+    import torch.nn.functional as F
+
+    g = grid.detach().permute(0, 4, 1, 2, 3)  # [B,C,X,Y,Z]
+    g = F.interpolate(g, size=tuple(int(v) for v in new_size),
+                      mode="trilinear", align_corners=True)
+    return g.permute(0, 2, 3, 4, 1).contiguous().requires_grad_()
+
+
 def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
                                   tol_db: float = 0.1, log=print,
-                                  loss_zoo: bool = False) -> dict:
+                                  loss_zoo: bool = False,
+                                  pg_boundary: int | None = None) -> dict:
     """The flagship-model analog of :func:`run_trajectory_parity`: trains the
     production FourierGrid step (contracted sampling + 2K+1 Fourier banks +
     packed-corner gathers + masked Adam) and an independent torch mirror on
@@ -439,7 +442,14 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
     — entropy_last, rgbper (detached-weight), prefix-sum distortion, and the
     TV gradient injection between backward and the optimizer step
     (run_train.py:254-287), incl. the dense→sparse tv_dense_before switch —
-    each mirrored independently in torch."""
+    each mirrored independently in torch.
+
+    ``pg_boundary=K`` starts at a quarter of the voxel count and crosses a
+    progressive-upsampling boundary at step K, exercising the full production
+    boundary semantics (run_train.py:187-201 / train/loop.py pg block):
+    trilinear grid resample, act_shift -= decay_after_scale, optimizer
+    rebuilt from scratch (fresh moments, bias-correction restart), and the
+    lr decay re-anchored to the boundary — each mirrored in torch."""
     import torch
 
     import jax
@@ -457,7 +467,11 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
 
     cfg = fg.FourierGridConfig(
         scene_center=(0.0, 0.0, 0.0), scene_radius=(3.0, 3.0, 3.0),
-        num_voxels_density=24**3, num_voxels_rgb=24**3,
+        # a pg run starts at a quarter of the voxel count and doubles at the
+        # boundary (run_train.py:187-196 with one remaining pg_scale entry
+        # doubles num_voxels; /4 start keeps the resample non-trivial)
+        num_voxels_density=(24**3) // 4 if pg_boundary else 24**3,
+        num_voxels_rgb=(24**3) // 4 if pg_boundary else 24**3,
         num_voxels_base_density=24**3, num_voxels_base_rgb=24**3,
         alpha_init=1e-2, fast_color_thres=0.0, bg_len=0.2,
         fourier_freq_num=2, rgbnet_dim=6, rgbnet_depth=3, rgbnet_width=32,
@@ -495,19 +509,31 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
         + [(p, tcfg.lrate_rgbnet, False) for p in t_mlp]
     )
 
-    # framework side: the production train step over the production forward
-    def fwd(p, ro, rd, vd, key, img_index=None):
-        return fg.forward(p, cfg, ro, rd, vd, bg=bg)
+    # framework side: the production train step over the production forward.
+    # cfg changes at the pg boundary, so forward/step/geom are (re)builders
+    # exactly like loop.py's compile_step re-jit boundary.
+    def make_fwd(cfg_now):
+        def fwd(p, ro, rd, vd, key, img_index=None):
+            return fg.forward(p, cfg_now, ro, rd, vd, bg=bg)
 
-    step_fn = jax.jit(make_train_step(
-        fwd, tcfg, world_size_max=float(max(cfg.world_size)),
-    ))
-    state = create_train_state(params, tcfg)
+        return fwd
+
+    def make_step(cfg_now, anchor):
+        return jax.jit(make_train_step(
+            make_fwd(cfg_now), tcfg,
+            world_size_max=float(max(cfg_now.world_size)), lr_anchor=anchor,
+        ))
 
     # shared sample geometry: contracted points from the production sampler
     # (contraction parity is gated separately in tests/test_ops_golden.py;
     # sharing isolates the trajectory to banks/scan/head/losses/optimizer)
-    geom = jax.jit(lambda ro, rd: fg.sample_ray(cfg, ro, rd)[:3:2])  # pts, t
+    def make_geom(cfg_now):
+        return jax.jit(lambda ro, rd: fg.sample_ray(cfg_now, ro, rd)[:3:2])
+
+    anchor = 1
+    step_fn = make_step(cfg, anchor)
+    state = create_train_state(params, tcfg)
+    geom = make_geom(cfg)
     half_extent = 1.0 + cfg.bg_len
     act_shift = float(cfg.act_shift)
     ws_max = float(max(cfg.world_size))
@@ -515,6 +541,31 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
     rng = np.random.default_rng(42)
     t0 = time.time()
     for step in range(1, steps + 1):
+        if pg_boundary is not None and step == pg_boundary:
+            # the production boundary block (train/loop.py pg_scale):
+            # resample grids + occupancy refresh, act_shift decay, optimizer
+            # rebuilt from scratch, lr decay re-anchored, step re-jitted
+            new_params, cfg = fg.scale_volume_grid(
+                state.params, cfg, 24**3, 24**3
+            )
+            new_params = new_params.replace(
+                act_shift=new_params.act_shift - tcfg.decay_after_scale
+            )
+            state = create_train_state(new_params, tcfg, start_step=step - 1)
+            anchor = step
+            step_fn = make_step(cfg, anchor)
+            geom = make_geom(cfg)
+            interval = cfg.stepsize * cfg.voxel_size_ratio_density
+            ws_max = float(max(cfg.world_size))
+
+            # torch mirror of the same boundary
+            t_d = _torch_resize_banks(t_d, cfg.world_size_density)
+            t_k = _torch_resize_banks(t_k, cfg.world_size_rgb)
+            act_shift -= float(tcfg.decay_after_scale)
+            opt = _TorchMaskedAdam(
+                [(t_d, tcfg.lrate_density, True), (t_k, tcfg.lrate_k0, True)]
+                + [(p, tcfg.lrate_rgbnet, False) for p in t_mlp]
+            )
         idx = rng.integers(0, RO.shape[0], size=n_rand)
         batch = {
             "rgb": jnp.asarray(GT[idx]),
@@ -577,7 +628,9 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
                         par.grad += _torch_tv_grad(
                             par, bw, bw, bw, dense, par.grad
                         )
-        opt.step(float(lr_decay_scale(step - 1, tcfg.lrate_decay)))
+        # lr decay re-anchors at the pg boundary (optimizer rebuilt with
+        # global_step=0, run_train.py:199)
+        opt.step(float(lr_decay_scale(max(step - anchor, 0), tcfg.lrate_decay)))
         if step % 50 == 0 or step == steps:
             mse_log = float((mse_t if loss_zoo else loss_t).detach())
             log(
@@ -588,8 +641,9 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
             )
 
     eval_idx = np.random.default_rng(7).integers(0, RO.shape[0], size=4096)
-    res = fwd(state.params, jnp.asarray(RO[eval_idx]),
-              jnp.asarray(RD[eval_idx]), jnp.asarray(VD[eval_idx]), None)
+    res = make_fwd(cfg)(state.params, jnp.asarray(RO[eval_idx]),
+                        jnp.asarray(RD[eval_idx]), jnp.asarray(VD[eval_idx]),
+                        None)
     mse_j = float(jnp.mean((res.rgb_marched - jnp.asarray(GT[eval_idx])) ** 2))
     pts, _ = geom(jnp.asarray(RO[eval_idx]), jnp.asarray(RD[eval_idx]))
     with torch.no_grad():
@@ -605,6 +659,7 @@ def run_trajectory_parity_fourier(steps: int = 200, n_rand: int = 1024,
     out = {
         "model": "fourier_grid",
         "loss_zoo": loss_zoo,
+        "pg_boundary": pg_boundary,
         "psnr_torch": round(psnr_t, 3),
         "psnr_jax": round(psnr_j, 3),
         "delta_db": round(delta, 4),
@@ -666,6 +721,10 @@ def main(argv=None) -> int:
     ap.add_argument("--loss_zoo", action="store_true",
                     help="fourier only: enable entropy/rgbper/distortion "
                          "losses + TV gradient injection on both sides")
+    ap.add_argument("--pg_boundary", type=int, default=None,
+                    help="fourier only: cross a progressive-upsampling "
+                         "boundary at this step (resample + optimizer "
+                         "rebuild + act_shift decay + lr re-anchor)")
     ap.add_argument("--data_root", default="data")
     ap.add_argument("--scenes", nargs="*", default=["lego", "garden", "truck"],
                     choices=sorted(_SCENES))
@@ -674,7 +733,8 @@ def main(argv=None) -> int:
         return run_real(args.data_root, args.scenes)
     if args.model == "fourier":
         run_trajectory_parity_fourier(args.steps, args.n_rand, args.tol_db,
-                                      loss_zoo=args.loss_zoo)
+                                      loss_zoo=args.loss_zoo,
+                                      pg_boundary=args.pg_boundary)
     else:
         run_trajectory_parity(args.steps, args.n_rand, args.tol_db)
     return 0

@@ -565,8 +565,11 @@ def forward(
         dims = params.density.grid.shape[1:4]
         cf = 1 + cfg.k0_dim
         c01 = _bank_coords01(cfg, pts)
-        if use_packed and cache is not None:
-            # rendering: tables pre-packed once, one row gather per bank
+        if use_packed and cache is not None and cache.tables is not None:
+            # rendering: tables pre-packed once, one row gather per bank.
+            # (a TWO-stage cache has tables=None — e.g. color_budget>0 with
+            # thres<=0 falling through the gate above — and must take the
+            # on-the-fly pack branch below instead)
             c01b = jnp.moveaxis(c01, -2, 0)  # [B, N, S, 3]
             vals = None
             for b in range(B):

@@ -239,11 +239,18 @@ def run_train_blocks_parallel(
             _unstack_tree(jax.device_get(state.opt_state), k_blocks)
             if opt_state is not None else [None] * k_blocks
         )
+        # never persist a deferral-zeroed sample_budget: a resumed run would
+        # otherwise see budget 0 in the reloaded mcfg, skip the deferral
+        # bookkeeping, and train budget-less forever (loop.py _save_mcfg)
+        save_mcfg = (
+            dataclasses.replace(mcfg, sample_budget=deferred_budget)
+            if deferred_budget else mcfg
+        )
         paths = []
         for b, (p, o) in enumerate(zip(params_list, opt_list)):
             path = os.path.join(exp_dir, f"fine_last_{b}")
             ckpt.save_model(
-                path, family, mcfg, p, global_step=step_now, opt_state=o
+                path, family, save_mcfg, p, global_step=step_now, opt_state=o
             )
             paths.append(path)
         return paths

@@ -325,7 +325,24 @@ def scene_rep_reconstruction(
         if no_reload_optimizer:
             opt_bytes = None  # --no_reload_optimizer (run_FourierGrid.py:36-37)
         log_fn(f"{stage}: resumed from {reload_path} at step {start_step}")
-    else:
+    if jax.process_count() > 1:
+        # checkpoints are written by process 0 only; on a host-local exp_dir
+        # the other processes would resume at step 0 and silently diverge
+        # (then deadlock when process 0 finishes its shorter loop) — fail
+        # fast instead and require a shared filesystem
+        from jax.experimental import multihost_utils
+
+        steps_all = multihost_utils.process_allgather(
+            np.asarray(start_step, np.int32)
+        )
+        if int(steps_all.min()) != int(steps_all.max()):
+            raise RuntimeError(
+                f"implicit-resume start_step differs across processes "
+                f"({steps_all.tolist()}): exp_dir must live on a filesystem "
+                f"shared by all hosts (process 0 writes the checkpoints). "
+                f"Mount a shared exp_dir or rerun with --no_reload."
+            )
+    if reload_path is None:
         family, mcfg, params = build_model(
             cfg, cfg_model, cfg_train, xyz_min, xyz_max, k_model,
             n_train=len(np.asarray(data_dict["i_train"])),

@@ -201,7 +201,9 @@ def run_tune_pose(args, cfg, data_dict, exp_dir: str) -> str:
         path = args.ft_path
     elif os.path.exists(os.path.join(merged, "meta.json")):
         path = merged
-    if not os.path.exists(os.path.join(path, "meta.json")):
+    # a reference .tar is a valid --ft_path too (load_model converts it)
+    is_ref_tar = os.path.isfile(path) and path.endswith(".tar")
+    if not is_ref_tar and not os.path.exists(os.path.join(path, "meta.json")):
         raise FileNotFoundError(
             f"tune_pose needs a trained model at {path} — run --program "
             "train first (the reference's sfm_FourierGrid.sh flow)"
