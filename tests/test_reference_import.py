@@ -109,10 +109,20 @@ def _fourier_ckpt(num_freqs=2, n=11, k0_dim=4, width=16, depth=3,
     # world_size with float truncation); mirror that via the translated config
     m = ri._fourier_cfg(kw, sd, {}).world_size_density[0]
     kw["mask_cache_world_size"] = [m, m, m]
+    # grid modules register xyz_min/xyz_max buffers, MaskGrid registers the
+    # affine lookup transform (FourierGrid_grid.py:48-49,155-158) — all part
+    # of the reference's on-disk state dict
+    scale = torch.full((3,), (m - 1) / (2 * b))
     sd.update({
         "density.grid": _bank_grid(rng, banks, 1, m),
+        "density.xyz_min": torch.tensor([-b, -b, -b]),
+        "density.xyz_max": torch.tensor([b, b, b]),
         "k0.grid": _bank_grid(rng, banks, k0_dim, m),
+        "k0.xyz_min": torch.tensor([-b, -b, -b]),
+        "k0.xyz_max": torch.tensor([b, b, b]),
         "mask_cache.mask": torch.tensor(rng.random((m, m, m)) > 0.3),
+        "mask_cache.xyz2ijk_scale": scale,
+        "mask_cache.xyz2ijk_shift": b * scale,
     })
     sd.update({f"rgbnet.{k}": v for k, v in rgbnet.state_dict().items()})
     if img_emb_dim > 0 and sample_num > 0:
@@ -425,3 +435,101 @@ def test_import_rejects_shape_mismatch():
     ckpt["model_state_dict"]["density.grid"] = torch.zeros(5, 1, 7, 7, 7)
     with pytest.raises(ValueError, match="shape mismatch"):
         ri.convert_reference_ckpt(ckpt)
+
+
+# ---------------------------------------------------------------------------
+# export (native -> reference .tar) round trip
+# ---------------------------------------------------------------------------
+
+
+def test_export_roundtrip_fourier():
+    """export -> import must reproduce the native params exactly, and the
+    exported key set must equal what the reference's own save would write
+    (so a strict load_state_dict on the reference side succeeds)."""
+    ckpt, _ = _fourier_ckpt(sample_num=-1)
+    family, cfg, params, step = ri.convert_reference_ckpt(ckpt)
+    ref = ri.convert_to_reference(family, cfg, params, global_step=step)
+
+    # key-set parity with the reference-format fixture (the fixture mirrors
+    # the reference module construction, so its state dict IS the key spec)
+    assert set(ref["model_state_dict"]) == set(ckpt["model_state_dict"])
+
+    family2, cfg2, params2, step2 = ri.convert_reference_ckpt(ref)
+    assert (family2, step2) == (family, step)
+    np.testing.assert_allclose(
+        np.asarray(params2.density.grid), np.asarray(params.density.grid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(params2.k0.grid), np.asarray(params.k0.grid)
+    )
+    for w1, w2 in zip(params.rgbnet.weights, params2.rgbnet.weights):
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(
+        np.asarray(params.mask_cache.mask), np.asarray(params2.mask_cache.mask)
+    )
+    assert float(params.act_shift) == pytest.approx(float(params2.act_shift))
+    # grid tensor layout in the tar is the reference's channel-second
+    assert ref["model_state_dict"]["k0.grid"].shape[1] == cfg.k0_dim
+
+
+def test_export_roundtrip_dmpigo():
+    from unboundednerfpytorch_tpu.models import dmpigo
+
+    cfg = dmpigo.DMPIGOConfig(
+        xyz_min=(-1.0, -1.0, -1.0), xyz_max=(1.0, 1.0, 1.0),
+        num_voxels=8 * 8 * 16, mpi_depth=16, rgbnet_dim=4,
+        rgbnet_depth=3, rgbnet_width=16, viewbase_pe=0,
+    )
+    params = dmpigo.create(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(8)
+    params = params.replace(
+        density=params.density.replace(
+            grid=jnp.asarray(
+                rng.standard_normal(params.density.grid.shape).astype(np.float32)
+            )
+        )
+    )
+    ref = ri.convert_to_reference("dmpigo", cfg, params, global_step=3)
+    assert tuple(ref["model_state_dict"]["act_shift.grid"].shape) == (
+        1, 1, 1, 1, 16,
+    )
+    family2, cfg2, params2, _ = ri.convert_reference_ckpt(ref)
+    assert family2 == "dmpigo"
+    np.testing.assert_allclose(
+        np.asarray(params2.density.grid), np.asarray(params.density.grid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(params2.act_shift), np.asarray(params.act_shift)
+    )
+
+
+def test_export_roundtrip_dvgo_tensorf(tmp_path):
+    """TensoRF k0: export -> import preserves planes/vectors/f_vec; also
+    exercises the file-level export_checkpoint path."""
+    from unboundednerfpytorch_tpu.models import dvgo
+    from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
+
+    cfg = dvgo.DVGOConfig(
+        xyz_min=(-1.5, -1.5, -1.5), xyz_max=(1.5, 1.5, 1.5),
+        num_voxels=10**3, num_voxels_base=10**3, alpha_init=1e-2,
+        k0_type="TensoRFGrid", k0_config=(("n_comp", 4),),
+        rgbnet_dim=6, rgbnet_depth=3, rgbnet_width=16,
+    )
+    params = dvgo.create(cfg, jax.random.PRNGKey(1))
+    ckpt_mod.save_model(str(tmp_path / "native"), "dvgo", cfg, params,
+                        global_step=11)
+    ref = ri.export_checkpoint(str(tmp_path / "native"),
+                               str(tmp_path / "fine_last.tar"))
+    assert ref["global_step"] == 11
+    family2, cfg2, params2, _ = ri.convert_reference_ckpt(ref)
+    np.testing.assert_allclose(
+        np.asarray(params2.k0.xy_plane), np.asarray(params.k0.xy_plane)
+    )
+    np.testing.assert_allclose(
+        np.asarray(params2.k0.f_vec), np.asarray(params.k0.f_vec)
+    )
+    # and the written .tar itself imports
+    import torch
+
+    loaded = torch.load(str(tmp_path / "fine_last.tar"), weights_only=False)
+    assert ri.detect_family(loaded["model_kwargs"]) == "dvgo"

@@ -41,7 +41,13 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["detect_family", "import_checkpoint", "convert_reference_ckpt"]
+__all__ = [
+    "detect_family",
+    "import_checkpoint",
+    "convert_reference_ckpt",
+    "convert_to_reference",
+    "export_checkpoint",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +390,217 @@ def convert_reference_ckpt(
     else:
         raise ValueError(f"unknown model family {family!r}")
     return family, cfg, params, int(ckpt.get("global_step", 0))
+
+
+# ---------------------------------------------------------------------------
+# export (native -> reference .tar)
+# ---------------------------------------------------------------------------
+
+
+def _export_grid(sd: dict, prefix: str, field) -> None:
+    """Write a grid primitive's tensors/buffers under ``prefix`` in the
+    reference's layouts + buffer key set (grid.py:41-48 registers xyz_min/
+    xyz_max on every grid module — strict load_state_dict requires them)."""
+    import torch
+
+    tname = type(field).__name__
+    sd[f"{prefix}.xyz_min"] = torch.tensor(list(field.xyz_min),
+                                           dtype=torch.float32)
+    sd[f"{prefix}.xyz_max"] = torch.tensor(list(field.xyz_max),
+                                           dtype=torch.float32)
+    if tname == "TensoRFGrid":
+        plane = lambda a: torch.tensor(
+            np.transpose(np.asarray(a), (2, 0, 1))[None]
+        )  # [A,B,R] -> [1,R,A,B]
+        vec = lambda a: torch.tensor(np.asarray(a).T[None, :, :, None])
+        sd[f"{prefix}.xy_plane"] = plane(field.xy_plane)
+        sd[f"{prefix}.xz_plane"] = plane(field.xz_plane)
+        sd[f"{prefix}.yz_plane"] = plane(field.yz_plane)
+        sd[f"{prefix}.x_vec"] = vec(field.x_vec)
+        sd[f"{prefix}.y_vec"] = vec(field.y_vec)
+        sd[f"{prefix}.z_vec"] = vec(field.z_vec)
+        if field.f_vec is not None:
+            sd[f"{prefix}.f_vec"] = torch.tensor(np.asarray(field.f_vec))
+        return
+    g = np.asarray(field.grid, np.float32)
+    if g.ndim == 5:  # FourierGrid banks [B,X,Y,Z,C] -> [B,C,X,Y,Z]
+        sd[f"{prefix}.grid"] = torch.tensor(np.transpose(g, (0, 4, 1, 2, 3)))
+    else:  # DenseGrid [X,Y,Z,C] -> [1,C,X,Y,Z]
+        sd[f"{prefix}.grid"] = torch.tensor(
+            np.transpose(g, (3, 0, 1, 2))[None]
+        )
+
+
+def _export_mask_cache(sd: dict, mc) -> None:
+    import torch
+
+    mask = np.asarray(mc.mask, bool)
+    mn = np.asarray(mc.xyz_min, np.float32)
+    mx = np.asarray(mc.xyz_max, np.float32)
+    scale = (np.asarray(mask.shape, np.float32) - 1) / (mx - mn)
+    sd["mask_cache.mask"] = torch.tensor(mask)
+    sd["mask_cache.xyz2ijk_scale"] = torch.tensor(scale)
+    sd["mask_cache.xyz2ijk_shift"] = torch.tensor(-mn * scale)
+
+
+def _export_rgbnet(sd: dict, mlp) -> None:
+    """Our [in,out] MLP -> the reference's nested-Sequential key structure
+    (FourierGrid_model.py:234-241): Linear at 0, hidden Sequentials from 2,
+    final Linear at index depth."""
+    import torch
+
+    depth = len(mlp.weights)
+    for i, (w, b) in enumerate(zip(mlp.weights, mlp.biases)):
+        if i == 0:
+            base = "rgbnet.0"
+        elif i == depth - 1:
+            base = f"rgbnet.{depth}"
+        else:
+            base = f"rgbnet.{1 + i}.0"
+        sd[base + ".weight"] = torch.tensor(np.asarray(w).T)
+        sd[base + ".bias"] = torch.tensor(np.asarray(b))
+
+
+def _viewfreq(viewbase_pe: int):
+    import torch
+
+    return torch.tensor([2.0**i for i in range(viewbase_pe)])
+
+
+def convert_to_reference(family: str, cfg, params, global_step: int = 0) -> dict:
+    """Native (family, cfg, params) → the reference's checkpoint dict
+    (``FourierGrid_ckpt_manager.save_model`` layout), so reference tooling
+    can ``load_state_dict`` it strictly."""
+    import torch
+
+    sd: dict = {}
+    kw: dict = {}
+    bbox_min = np.asarray(cfg.xyz_min, np.float32)
+    bbox_max = np.asarray(cfg.xyz_max, np.float32)
+    sd["xyz_min"] = torch.tensor(bbox_min)
+    sd["xyz_max"] = torch.tensor(bbox_max)
+    has_rgbnet = params.rgbnet is not None
+    if has_rgbnet:
+        sd["viewfreq"] = _viewfreq(cfg.viewbase_pe)
+        _export_rgbnet(sd, params.rgbnet)
+    _export_grid(sd, "density", params.density)
+    _export_grid(sd, "k0", params.k0)
+    _export_mask_cache(sd, params.mask_cache)
+
+    rgb_kw = dict(
+        rgbnet_dim=int(cfg.rgbnet_dim),
+        rgbnet_depth=int(cfg.rgbnet_depth),
+        rgbnet_width=int(cfg.rgbnet_width),
+        viewbase_pe=int(cfg.viewbase_pe),
+    )
+    mc_ws = list(int(v) for v in params.mask_cache.mask.shape)
+
+    if family == "FourierGrid":
+        sd["scene_center"] = torch.tensor(list(cfg.scene_center))
+        sd["scene_radius"] = torch.tensor(list(cfg.scene_radius))
+        sd["act_shift"] = torch.tensor([float(np.asarray(params.act_shift))])
+        if params.vd is not None:
+            _export_grid(sd, "vd", params.vd)
+        kw = dict(
+            xyz_min=bbox_min, xyz_max=bbox_max,
+            num_voxels_density=int(cfg.num_voxels_density),
+            num_voxels_rgb=int(cfg.num_voxels_rgb),
+            num_voxels_viewdir=int(cfg.num_voxels_viewdir),
+            fourier_freq_num=int(cfg.fourier_freq_num),
+            num_voxels_base_density=int(cfg.num_voxels_base_density),
+            num_voxels_base_rgb=int(cfg.num_voxels_base_rgb),
+            alpha_init=float(cfg.alpha_init),
+            voxel_size_ratio_density=float(cfg.voxel_size_ratio_density),
+            voxel_size_ratio_rgb=float(
+                cfg._voxel_size(cfg.num_voxels_rgb)
+                / cfg._voxel_size(cfg.num_voxels_base_rgb)
+            ),
+            mask_cache_world_size=mc_ws,
+            fast_color_thres=float(cfg.fast_color_thres),
+            contracted_norm=str(cfg.contracted_norm),
+            density_type="FourierGrid", k0_type="FourierGrid",
+            density_config={}, k0_config={},
+            sample_num=int(cfg.sample_num),
+            **rgb_kw,
+        )
+    elif family == "dvgo":
+        sd["act_shift"] = torch.tensor([float(np.asarray(params.act_shift))])
+        kw = dict(
+            xyz_min=bbox_min, xyz_max=bbox_max,
+            num_voxels=int(cfg.num_voxels),
+            num_voxels_base=int(cfg.num_voxels_base),
+            alpha_init=float(cfg.alpha_init),
+            voxel_size_ratio=float(cfg.voxel_size_ratio),
+            mask_cache_path=None,
+            mask_cache_thres=float(cfg.mask_cache_thres),
+            mask_cache_world_size=mc_ws,
+            fast_color_thres=float(cfg.fast_color_thres),
+            density_type=str(cfg.density_type), k0_type=str(cfg.k0_type),
+            density_config=dict(cfg.density_config),
+            k0_config=dict(cfg.k0_config),
+            rgbnet_direct=bool(cfg.rgbnet_direct),
+            rgbnet_full_implicit=bool(cfg.rgbnet_full_implicit),
+            **rgb_kw,
+        )
+    elif family == "dcvgo":
+        sd["scene_center"] = torch.tensor(list(cfg.scene_center))
+        sd["scene_radius"] = torch.tensor(list(cfg.scene_radius))
+        sd["act_shift"] = torch.tensor([float(np.asarray(params.act_shift))])
+        kw = dict(
+            xyz_min=bbox_min, xyz_max=bbox_max,
+            num_voxels=int(cfg.num_voxels),
+            num_voxels_base=int(cfg.num_voxels_base),
+            alpha_init=float(cfg.alpha_init),
+            voxel_size_ratio=float(cfg.voxel_size_ratio),
+            mask_cache_world_size=mc_ws,
+            fast_color_thres=float(cfg.fast_color_thres),
+            contracted_norm=str(cfg.contracted_norm),
+            density_type="DenseGrid", k0_type="DenseGrid",
+            density_config={}, k0_config={},
+            **rgb_kw,
+        )
+    elif family == "dmpigo":
+        # dmpigo's act_shift is a (frozen) DenseGrid module [1,1,1,1,D]
+        import torch as _torch
+
+        act = np.asarray(params.act_shift, np.float32).reshape(1, 1, 1, 1, -1)
+        sd["act_shift.grid"] = _torch.tensor(act)
+        sd["act_shift.xyz_min"] = _torch.tensor(bbox_min)
+        sd["act_shift.xyz_max"] = _torch.tensor(bbox_max)
+        kw = dict(
+            xyz_min=bbox_min, xyz_max=bbox_max,
+            num_voxels=int(cfg.num_voxels),
+            mpi_depth=int(cfg.mpi_depth),
+            voxel_size_ratio=float(cfg.voxel_size_ratio),
+            mask_cache_path=None, mask_cache_thres=1e-3,
+            mask_cache_world_size=mc_ws,
+            fast_color_thres=float(cfg.fast_color_thres),
+            density_type=str(cfg.density_type), k0_type=str(cfg.k0_type),
+            density_config={}, k0_config={},
+            **rgb_kw,
+        )
+    else:
+        raise ValueError(f"unknown model family {family!r}")
+
+    return {
+        "global_step": int(global_step),
+        "model_kwargs": kw,
+        "model_state_dict": sd,
+        "optimizer_state_dict": {},
+    }
+
+
+def export_checkpoint(ckpt_dir: str, out_tar: str) -> dict:
+    """Load a NATIVE checkpoint directory and write a reference-format
+    torch ``.tar`` next to it. Returns the exported dict."""
+    import torch
+
+    from unboundednerfpytorch_tpu.utils.checkpoint import load_model
+
+    family, cfg, params, step, _ = load_model(ckpt_dir)
+    ref = convert_to_reference(family, cfg, params, global_step=step)
+    torch.save(ref, out_tar)
+    return ref
 
 
 def import_checkpoint(
