@@ -36,6 +36,19 @@ def test_trajectory_parity_tiny():
     assert out["psnr_jax"] > 14.0, out
 
 
+def test_trajectory_parity_pervoxel_lr():
+    """DVGO recipe with the per-voxel learning rate live on both sides: the
+    density grid's lr is scaled by view counts (voxel_count_views), taking
+    the adam_upd_with_perlr optimizer path instead of skip-zero-grad."""
+    mod = _load_parity_run()
+    out = mod.run_trajectory_parity(
+        steps=60, n_rand=512, tol_db=0.1, log=lambda *a: None,
+        pervoxel_lr=True,
+    )
+    assert out["delta_db"] <= 0.1
+    assert out["psnr_jax"] > 14.0, out
+
+
 def test_trajectory_parity_fourier_tiny():
     """Flagship FourierGrid recipe: contracted sampling + 2K+1 Fourier banks
     + packed-corner gathers + masked Adam vs the independent torch mirror."""
@@ -71,3 +84,14 @@ def test_trajectory_parity_fourier_pg_boundary_with_zoo():
     )
     assert out["delta_db"] <= 0.1
     assert out["psnr_jax"] > 17.0, out
+
+
+def test_trajectory_parity_dmpigo_tiny():
+    """DMPIGO (MPI) recipe: NDC equidistant sampling + per-depth act_shift
+    line grid + zero-PE rgb head vs the independent torch mirror."""
+    mod = _load_parity_run()
+    out = mod.run_trajectory_parity_dmpigo(
+        steps=60, n_rand=512, tol_db=0.1, log=lambda *a: None
+    )
+    assert out["delta_db"] <= 0.1
+    assert out["psnr_jax"] > 12.0, out

@@ -87,15 +87,21 @@ def _torch_forward(density_grid, k0_grid, mlp, pts01, mask, viewdirs,
 
 class _TorchMaskedAdam:
     """The reference's MaskedAdam in torch: skip-zero-grad moments, bias
-    correction folded into the step size (adam_upd_kernel.cu:25-40,72-121)."""
+    correction folded into the step size, and the per-element-lr variant
+    (adam_upd_kernel.cu:25-58,72-121). Groups are
+    ``(param, lr, skip_zero_grad[, per_lr_tensor])``; a per-lr group takes
+    the ``adam_upd_with_perlr`` path (plain moments, update scaled by the
+    per-element lr — it wins over skip_zero_grad, masked_adam.py:64-69)."""
 
     def __init__(self, groups, beta1=0.9, beta2=0.99, eps=1e-8):
         import torch
 
-        self.groups = groups  # [(param, lr, skip_zero_grad)]
+        self.groups = [
+            (g[0], g[1], g[2], g[3] if len(g) > 3 else None) for g in groups
+        ]
         self.b1, self.b2, self.eps = beta1, beta2, eps
-        self.m = [torch.zeros_like(p) for p, _, _ in groups]
-        self.v = [torch.zeros_like(p) for p, _, _ in groups]
+        self.m = [torch.zeros_like(p) for p, _, _, _ in self.groups]
+        self.v = [torch.zeros_like(p) for p, _, _, _ in self.groups]
         self.t = 0
 
     @classmethod
@@ -110,12 +116,12 @@ class _TorchMaskedAdam:
         self.t += 1
         bias = (1.0 - self.b2**self.t) ** 0.5 / (1.0 - self.b1**self.t)
         with torch.no_grad():
-            for i, (p, lr, skip) in enumerate(self.groups):
+            for i, (p, lr, skip, per) in enumerate(self.groups):
                 g = p.grad
                 if g is None:
                     continue
                 step_size = lr * lr_scale * bias
-                if skip:
+                if skip and per is None:
                     mask = g != 0
                     self.m[i] = torch.where(
                         mask, self.b1 * self.m[i] + (1 - self.b1) * g, self.m[i]
@@ -132,7 +138,10 @@ class _TorchMaskedAdam:
                 else:
                     self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * g
                     self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * g * g
-                    p -= step_size * self.m[i] / (self.v[i].sqrt() + self.eps)
+                    upd = step_size * self.m[i] / (self.v[i].sqrt() + self.eps)
+                    if per is not None:
+                        upd = upd * per
+                    p -= upd
                 p.grad = None
 
 
@@ -141,7 +150,7 @@ class _TorchMaskedAdam:
 # ---------------------------------------------------------------------------
 
 
-def _flatten_rays(data):
+def _flatten_rays(data, ndc: bool = False):
     """Flatten a data_dict's training views into ray/rgb stores (numpy)."""
     import jax.numpy as jnp
 
@@ -152,7 +161,7 @@ def _flatten_rays(data):
         H, W = (int(v) for v in data["HW"][i])
         ro, rd, vd = ray_ops.get_rays_of_a_view(
             H, W, jnp.asarray(data["Ks"][i]),
-            jnp.asarray(data["poses"][i][:3, :4]),
+            jnp.asarray(data["poses"][i][:3, :4]), ndc=ndc,
         )
         ro_l.append(np.asarray(ro).reshape(-1, 3))
         rd_l.append(np.asarray(rd).reshape(-1, 3))
@@ -163,9 +172,15 @@ def _flatten_rays(data):
 
 
 def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
-                          tol_db: float = 0.1, log=print) -> dict:
+                          tol_db: float = 0.1, log=print,
+                          pervoxel_lr: bool = False) -> dict:
     """Train torch-reference and framework on identical data/batches; return
-    {"psnr_torch", "psnr_jax", "delta_db"}. Raises AssertionError on miss."""
+    {"psnr_torch", "psnr_jax", "delta_db"}. Raises AssertionError on miss.
+
+    ``pervoxel_lr=True`` additionally exercises the per-voxel learning rate
+    (run_train.py:169-176 / adam_upd_with_perlr): the density grid's lr is
+    scaled per voxel by view-count/max, computed by the production
+    ``voxel_count_views`` and applied identically on both sides."""
     import torch
 
     import jax
@@ -191,7 +206,7 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
         alpha_init=1e-2, fast_color_thres=0.0,
     )
     tcfg = TrainStageConfig(
-        N_iters=steps, N_rand=n_rand, lrate_decay=20, pervoxel_lr=False,
+        N_iters=steps, N_rand=n_rand, lrate_decay=20, pervoxel_lr=pervoxel_lr,
         weight_main=1.0, weight_entropy_last=0.0, weight_rgbper=0.0,
         weight_tv_density=0.0, weight_tv_k0=0.0,
         skip_zero_grad_fields=("density", "k0"),
@@ -210,11 +225,6 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
             torch.tensor(np.asarray(w)).requires_grad_(),
             torch.tensor(np.asarray(b)).requires_grad_(),
         ]
-    opt = _TorchMaskedAdam(
-        [(t_d, tcfg.lrate_density, True), (t_k, tcfg.lrate_k0, True)]
-        + [(p, tcfg.lrate_rgbnet, False) for p in t_mlp]
-    )
-
     # --- framework side: the production train step --------------------------
     def fwd(p, ro, rd, vd, key, img_index=None):
         return dvgo.forward(p, cfg, ro, rd, vd, near=near, stepsize=stepsize,
@@ -224,6 +234,34 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
         fwd, tcfg, world_size_max=float(max(cfg.world_size)),
     ))
     state = create_train_state(params, tcfg)
+
+    per_t = None
+    if pervoxel_lr:
+        # the production per-voxel lr (train/loop.py:468-487): density lr
+        # scaled by per-voxel view counts from voxel_count_views, normalized
+        # by the max; exported verbatim to the torch optimizer
+        from unboundednerfpytorch_tpu.optim import factory as opt_factory
+        from unboundednerfpytorch_tpu.optim.masked_adam import make_per_lr
+
+        n_views = len(data["i_train"])
+        hw = RO.shape[0] // n_views
+        count = dvgo.voxel_count_views(
+            params, cfg, jnp.asarray(RO.reshape(n_views, hw, 3)),
+            jnp.asarray(RD.reshape(n_views, hw, 3)),
+            near=near, stepsize=stepsize,
+        )
+        per_grid = count / jnp.maximum(count.max(), 1.0)
+        trainable0, _ = opt_factory.split_trainable(params, tcfg)
+        state = state.replace(per_lr=make_per_lr(
+            trainable0, {"density": params.density.replace(grid=per_grid)}
+        ))
+        per_t = torch.tensor(np.asarray(per_grid))
+
+    opt = _TorchMaskedAdam(
+        [(t_d, tcfg.lrate_density, True, per_t),
+         (t_k, tcfg.lrate_k0, True)]
+        + [(p, tcfg.lrate_rgbnet, False) for p in t_mlp]
+    )
 
     # shared sample geometry (gated elsewhere: tests/test_torch_parity.py
     # proves jax-vs-torch pts/grid_sample agreement; sharing it here isolates
@@ -291,6 +329,7 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
     psnr_t = -10 * np.log10(mse_t)
     delta = abs(psnr_j - psnr_t)
     out = {
+        "pervoxel_lr": pervoxel_lr,
         "psnr_torch": round(psnr_t, 3),
         "psnr_jax": round(psnr_j, 3),
         "delta_db": round(delta, 4),
@@ -299,6 +338,177 @@ def run_trajectory_parity(steps: int = 200, n_rand: int = 1024,
     log(json.dumps(out))
     assert delta <= tol_db, (
         f"trajectory parity FAILED: |{psnr_j:.3f} - {psnr_t:.3f}| = "
+        f"{delta:.3f} dB > {tol_db} dB"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# trajectory parity — DMPIGO (forward-facing NDC / MPI)
+# ---------------------------------------------------------------------------
+
+
+def _torch_sample3d(grid_xyzc, pts01):
+    """Trilinear sample of an [X,Y,Z,C] grid at [N,S,3] coords in [0,1]
+    (torch grid_sample, align_corners, zyx flip)."""
+    import torch
+    import torch.nn.functional as F
+
+    N, S, _ = pts01.shape
+    g = grid_xyzc.permute(3, 0, 1, 2)[None]
+    ind = pts01.reshape(1, 1, 1, -1, 3).flip(-1) * 2 - 1
+    out = F.grid_sample(g, ind, mode="bilinear", align_corners=True)
+    return out.reshape(g.shape[1], -1).T.reshape(N, S, g.shape[1])
+
+
+def run_trajectory_parity_dmpigo(steps: int = 200, n_rand: int = 1024,
+                                 tol_db: float = 0.1, log=print) -> dict:
+    """DMPIGO (multiplane-image) trajectory gate: NDC equidistant sampling,
+    per-depth act_shift line grid added to the density
+    (dmpigo.py:47-57,275), zero-PE direct-viewdir rgb head, masked Adam —
+    each mirrored independently in torch on identical batches."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from unboundednerfpytorch_tpu.configs.schema import TrainStageConfig
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.models import dmpigo
+    from unboundednerfpytorch_tpu.optim.factory import lr_decay_scale
+    from unboundednerfpytorch_tpu.train.step import create_train_state, make_train_step
+
+    torch.manual_seed(0)
+    data = synthetic.make_data_dict(n_views=8, H=48, W=48)
+    RO, RD, VD, GT = _flatten_rays(data, ndc=True)
+
+    D = 32
+    cfg = dmpigo.DMPIGOConfig(
+        xyz_min=(-1.0, -1.0, 0.0), xyz_max=(1.0, 1.0, 1.0),
+        num_voxels=24 * 24 * D * 4, mpi_depth=D,  # world (24, 24, D)
+        rgbnet_dim=6, rgbnet_depth=3, rgbnet_width=32, viewbase_pe=0,
+        fast_color_thres=0.0, stepsize=1.0,
+    )
+    bg = 1.0
+    interval = cfg.stepsize * cfg.voxel_size_ratio
+    n_samp = cfg.n_samples(cfg.stepsize)
+    params = dmpigo.create(cfg, jax.random.PRNGKey(0))
+
+    tcfg = TrainStageConfig(
+        N_iters=steps, N_rand=n_rand, lrate_decay=20, pervoxel_lr=False,
+        weight_main=1.0, weight_entropy_last=0.0, weight_rgbper=0.0,
+        weight_tv_density=0.0, weight_tv_k0=0.0,
+        skip_zero_grad_fields=("density", "k0"),
+    )
+
+    t_d = torch.tensor(np.asarray(params.density.grid)).requires_grad_()
+    t_k = torch.tensor(np.asarray(params.k0.grid)).requires_grad_()
+    t_act = torch.tensor(np.asarray(params.act_shift))  # frozen buffer
+    t_mlp = []
+    for w, b in zip(params.rgbnet.weights, params.rgbnet.biases):
+        t_mlp += [
+            torch.tensor(np.asarray(w)).requires_grad_(),
+            torch.tensor(np.asarray(b)).requires_grad_(),
+        ]
+    opt = _TorchMaskedAdam(
+        [(t_d, tcfg.lrate_density, True), (t_k, tcfg.lrate_k0, True)]
+        + [(p, tcfg.lrate_rgbnet, False) for p in t_mlp]
+    )
+
+    def fwd(p, ro, rd, vd, key, img_index=None):
+        return dmpigo.forward(p, cfg, ro, rd, vd, bg=bg)
+
+    step_fn = jax.jit(make_train_step(
+        fwd, tcfg, world_size_max=float(max(cfg.world_size)),
+    ))
+    state = create_train_state(params, tcfg)
+
+    from unboundednerfpytorch_tpu.ops import sampling as S_ops
+
+    @jax.jit
+    def geom(ro, rd):
+        s = S_ops.sample_ndc_pts_on_rays(
+            ro, rd, jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max), n_samp
+        )
+        return s.pts, s.mask
+
+    mn = np.asarray(cfg.xyz_min, np.float32)
+    mx = np.asarray(cfg.xyz_max, np.float32)
+
+    def torch_forward(pts, mask, vd):
+        pts01 = torch.tensor((np.asarray(pts) - mn) / (mx - mn))
+        maskt = torch.tensor(np.asarray(mask))
+        density = _torch_sample3d(t_d, pts01)[..., 0]
+        # per-depth act_shift: linear interp of the [D] line at z01
+        zc = torch.clamp(pts01[..., 2], 0.0, 1.0) * (D - 1)
+        i0 = torch.clamp(zc.floor().long(), 0, D - 2)
+        f = zc - i0.to(zc.dtype)
+        act = t_act[i0] * (1 - f) + t_act[i0 + 1] * f
+        alpha = 1.0 - torch.exp(
+            -torch.nn.functional.softplus(density + act) * interval
+        )
+        alpha = torch.where(maskt, alpha, torch.zeros_like(alpha))
+        weights, alphainv = _torch_scan(alpha)
+        k0 = _torch_sample3d(t_k, pts01)
+        # viewbase_pe=0: the embedding is the raw view direction alone
+        vdt = torch.tensor(vd)
+        feat = torch.cat(
+            [k0, vdt[:, None, :].expand(k0.shape[0], k0.shape[1], 3)], -1
+        )
+        h = feat
+        n_layers = len(t_mlp) // 2
+        for i in range(n_layers):
+            h = h @ t_mlp[2 * i] + t_mlp[2 * i + 1]
+            if i < n_layers - 1:
+                h = torch.relu(h)
+        rgb = torch.sigmoid(h)
+        return torch.einsum("ns,nsc->nc", weights, rgb) + alphainv[:, None] * bg
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    for step in range(1, steps + 1):
+        idx = rng.integers(0, RO.shape[0], size=n_rand)
+        batch = {
+            "rgb": jnp.asarray(GT[idx]),
+            "rays_o": jnp.asarray(RO[idx]),
+            "rays_d": jnp.asarray(RD[idx]),
+            "viewdirs": jnp.asarray(VD[idx]),
+        }
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
+        pts, mask = geom(batch["rays_o"], batch["rays_d"])
+        rgb_t = torch_forward(pts, mask, VD[idx])
+        loss_t = ((rgb_t - torch.tensor(GT[idx])) ** 2).mean()
+        loss_t.backward()
+        opt.step(float(lr_decay_scale(step - 1, tcfg.lrate_decay)))
+        if step % 50 == 0 or step == steps:
+            log(
+                f"step {step:4d}: jax psnr "
+                f"{float(metrics['psnr']):5.2f} / torch mse->psnr "
+                f"{-10 * np.log10(float(loss_t.detach())):5.2f} "
+                f"({time.time() - t0:5.1f}s)"
+            )
+
+    eval_idx = np.random.default_rng(7).integers(0, RO.shape[0], size=4096)
+    res = fwd(state.params, jnp.asarray(RO[eval_idx]),
+              jnp.asarray(RD[eval_idx]), jnp.asarray(VD[eval_idx]), None)
+    mse_j = float(jnp.mean((res.rgb_marched - jnp.asarray(GT[eval_idx])) ** 2))
+    pts, mask = geom(jnp.asarray(RO[eval_idx]), jnp.asarray(RD[eval_idx]))
+    with torch.no_grad():
+        rgb_t = torch_forward(pts, mask, VD[eval_idx])
+        mse_t = float(((rgb_t - torch.tensor(GT[eval_idx])) ** 2).mean())
+    psnr_j = -10 * np.log10(mse_j)
+    psnr_t = -10 * np.log10(mse_t)
+    delta = abs(psnr_j - psnr_t)
+    out = {
+        "model": "dmpigo",
+        "psnr_torch": round(psnr_t, 3),
+        "psnr_jax": round(psnr_j, 3),
+        "delta_db": round(delta, 4),
+        "steps": steps,
+    }
+    log(json.dumps(out))
+    assert delta <= tol_db, (
+        f"dmpigo trajectory parity FAILED: |{psnr_j:.3f} - {psnr_t:.3f}| = "
         f"{delta:.3f} dB > {tol_db} dB"
     )
     return out
@@ -715,9 +925,11 @@ def main(argv=None) -> int:
     ap.add_argument("--n_rand", type=int, default=1024)
     ap.add_argument("--tol_db", type=float, default=0.1)
     ap.add_argument("--real", action="store_true")
-    ap.add_argument("--model", default="dvgo", choices=["dvgo", "fourier"],
-                    help="trajectory-parity recipe: dvgo (bounded) or "
-                         "fourier (flagship contracted FourierGrid)")
+    ap.add_argument("--model", default="dvgo",
+                    choices=["dvgo", "fourier", "dmpigo"],
+                    help="trajectory-parity recipe: dvgo (bounded), fourier "
+                         "(flagship contracted FourierGrid), or dmpigo "
+                         "(forward-facing NDC MPI)")
     ap.add_argument("--loss_zoo", action="store_true",
                     help="fourier only: enable entropy/rgbper/distortion "
                          "losses + TV gradient injection on both sides")
@@ -725,6 +937,9 @@ def main(argv=None) -> int:
                     help="fourier only: cross a progressive-upsampling "
                          "boundary at this step (resample + optimizer "
                          "rebuild + act_shift decay + lr re-anchor)")
+    ap.add_argument("--pervoxel_lr", action="store_true",
+                    help="dvgo only: per-voxel learning rate from view "
+                         "counts (adam_upd_with_perlr path)")
     ap.add_argument("--data_root", default="data")
     ap.add_argument("--scenes", nargs="*", default=["lego", "garden", "truck"],
                     choices=sorted(_SCENES))
@@ -735,8 +950,11 @@ def main(argv=None) -> int:
         run_trajectory_parity_fourier(args.steps, args.n_rand, args.tol_db,
                                       loss_zoo=args.loss_zoo,
                                       pg_boundary=args.pg_boundary)
+    elif args.model == "dmpigo":
+        run_trajectory_parity_dmpigo(args.steps, args.n_rand, args.tol_db)
     else:
-        run_trajectory_parity(args.steps, args.n_rand, args.tol_db)
+        run_trajectory_parity(args.steps, args.n_rand, args.tol_db,
+                              pervoxel_lr=args.pervoxel_lr)
     return 0
 
 
