@@ -533,3 +533,23 @@ def test_export_roundtrip_dvgo_tensorf(tmp_path):
 
     loaded = torch.load(str(tmp_path / "fine_last.tar"), weights_only=False)
     assert ri.detect_family(loaded["model_kwargs"]) == "dvgo"
+
+
+def test_overlay_render_knobs():
+    """Scene-config render knobs must win over converter defaults when a
+    reference .tar is used with a config — geometry fields must NOT move."""
+    from unboundednerfpytorch_tpu.configs.schema import ModelRenderConfig
+
+    ckpt, _ = _fourier_ckpt()
+    _, cfg, _, _ = ri.convert_reference_ckpt(ckpt)
+    assert cfg.t_boundary == pytest.approx(1.5)  # converter default
+    mr = ModelRenderConfig(
+        stepsize=0.7, t_boundary=2.0, sample_budget=48, color_budget=24,
+        num_voxels_density=999, num_voxels_rgb=999,  # geometry: ignored
+        num_voxels_base_density=999, num_voxels_base_rgb=999,
+    )
+    out = ri.overlay_render_knobs(cfg, mr)
+    assert out.stepsize == pytest.approx(0.7)
+    assert out.t_boundary == pytest.approx(2.0)
+    assert out.sample_budget == 48 and out.color_budget == 24
+    assert out.num_voxels_density == cfg.num_voxels_density  # unchanged

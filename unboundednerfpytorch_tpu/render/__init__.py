@@ -62,6 +62,14 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
     ):
         return run_render_blocks(args, cfg, data_dict, exp_dir)
     family, mcfg, params, _, _ = ckpt.load_model(path)
+    if str(path).endswith(".tar"):
+        # reference checkpoints carry no render-time knobs — the scene
+        # config's values (stepsize/t_boundary/budgets) must win
+        from unboundednerfpytorch_tpu.utils.reference_import import (
+            overlay_render_knobs,
+        )
+
+        mcfg = overlay_render_knobs(mcfg, cfg.fine_model_and_render)
     render_kwargs = {
         "near": float(data_dict["near"]),
         "far": float(data_dict["far"]),

@@ -322,6 +322,14 @@ def scene_rep_reconstruction(
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
 
         family, mcfg, params, start_step, opt_bytes = ckpt_mod.load_model(reload_path)
+        if str(reload_path).endswith(".tar"):
+            # fine-tuning FROM a reference checkpoint: reference ckpts carry
+            # no render/train-time knobs — this config's values must win
+            from unboundednerfpytorch_tpu.utils.reference_import import (
+                overlay_render_knobs,
+            )
+
+            mcfg = overlay_render_knobs(mcfg, cfg_model)
         if no_reload_optimizer:
             opt_bytes = None  # --no_reload_optimizer (run_FourierGrid.py:36-37)
         log_fn(f"{stage}: resumed from {reload_path} at step {start_step}")

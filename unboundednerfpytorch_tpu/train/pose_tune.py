@@ -209,6 +209,12 @@ def run_tune_pose(args, cfg, data_dict, exp_dir: str) -> str:
             "train first (the reference's sfm_FourierGrid.sh flow)"
         )
     family, mcfg, params, _, _ = ckpt.load_model(path)
+    if is_ref_tar:
+        from unboundednerfpytorch_tpu.utils.reference_import import (
+            overlay_render_knobs,
+        )
+
+        mcfg = overlay_render_knobs(mcfg, cfg.fine_model_and_render)
     render_kwargs = {
         "near": float(data_dict["near"]),
         "far": float(data_dict["far"]),

@@ -47,7 +47,38 @@ __all__ = [
     "convert_reference_ckpt",
     "convert_to_reference",
     "export_checkpoint",
+    "overlay_render_knobs",
 ]
+
+# Render/train-time knobs that reference checkpoints do NOT store (they are
+# config values in the reference too, not model state). When a converted
+# .tar is used with a scene config, the config's values must win over the
+# converter's defaults. Geometry/topology fields (num_voxels*, bg_len,
+# fourier_freq_num, rgbnet_*) are model state and are NEVER overlaid.
+_RENDER_KNOBS = (
+    "stepsize",
+    "t_boundary",
+    "sample_budget",
+    "color_budget",
+    "budget_probe_stride",
+    "density_bake_scale",
+    "packed_gather",
+)
+
+
+def overlay_render_knobs(mcfg, cfg_model):
+    """Overlay scene-config render knobs onto a config converted from a
+    reference checkpoint (which cannot carry them). Only fields present on
+    BOTH dataclasses are copied; returns the (possibly replaced) mcfg."""
+    import dataclasses
+
+    updates = {}
+    for name in _RENDER_KNOBS:
+        if hasattr(mcfg, name) and hasattr(cfg_model, name):
+            v = getattr(cfg_model, name)
+            if v is not None and getattr(mcfg, name) != v:
+                updates[name] = v
+    return dataclasses.replace(mcfg, **updates) if updates else mcfg
 
 
 # ---------------------------------------------------------------------------
