@@ -169,3 +169,53 @@ def test_extract_block_meta(tmp_path):
     np.testing.assert_allclose(p2c @ np.array([4.0, 3.0, 1.0]), [0, 0, -1],
                                atol=1e-9)
     assert os.path.exists(out / "metadata.json")
+
+
+@pytest.mark.parametrize("verify", [False, True])
+def test_truncation_and_mutation_fuzz_never_crashes(verify):
+    """Deterministic fuzz: every truncation point and a sweep of single-byte
+    mutations of a valid stream must either parse cleanly or raise
+    ValueError — never crash, hang, or return out-of-bounds spans — and the
+    native C++ framing must agree with the python reader on WHICH inputs
+    are rejected."""
+    rng = np.random.default_rng(0)
+    payloads = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+                for n in (0, 1, 37, 300)]
+    buf = io.BytesIO()
+    import struct
+
+    for p in payloads:
+        length = struct.pack("<Q", len(p))
+        buf.write(length)
+        buf.write(struct.pack("<I", tfr.masked_crc(length)))
+        buf.write(p)
+        buf.write(struct.pack("<I", tfr.masked_crc(p)))
+    data = buf.getvalue()
+    nat = tfr._native_lib()
+
+    def outcomes(b):
+        try:
+            py = ("ok", tfr._split_records_python(b, verify))
+        except ValueError:
+            py = ("err", None)
+        if nat is None:
+            return py, py
+        try:
+            na = ("ok", tfr._split_records_native(b, verify))
+        except ValueError:
+            na = ("err", None)
+        return py, na
+
+    # every truncation point
+    for cut in range(len(data) + 1):
+        py, na = outcomes(data[:cut])
+        assert py == na, f"native/python disagree at truncation {cut}"
+        if py[0] == "ok":
+            for off, length in py[1]:
+                assert 0 <= off and 0 <= length and off + length <= cut
+    # single-byte mutations at a stride (covers headers, CRCs, payloads)
+    for pos in range(0, len(data), 5):
+        mutated = bytearray(data)
+        mutated[pos] ^= 0xA5
+        py, na = outcomes(bytes(mutated))
+        assert py == na, f"native/python disagree at mutation {pos}"
