@@ -219,3 +219,45 @@ def test_truncation_and_mutation_fuzz_never_crashes(verify):
         mutated[pos] ^= 0xA5
         py, na = outcomes(bytes(mutated))
         assert py == na, f"native/python disagree at mutation {pos}"
+
+
+def test_visualize_cameras_cli(tmp_path, monkeypatch, capsys):
+    """The headless visualize CLI (counterpart of the reference's
+    data_preprocess/visualize_cameras.py --data_path) renders per-split
+    camera PNGs + the block-split map from a preprocessed block dir."""
+    import json
+    import sys
+
+    from unboundednerfpytorch_tpu.utils import visualize
+
+    root = tmp_path / "root"
+    for split in ("train", "val"):
+        (root / split / "rgbs").mkdir(parents=True)
+    meta = {
+        f"img{k}": {
+            "cam_idx": k % 2,
+            "c2w": [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, float(k)]],
+            "W": 8, "H": 6, "intrinsics": [10.0, 10.0],
+            "origin_pos": [0.0, 0.0, float(k)],
+        }
+        for k in range(4)
+    }
+    split_train = {"block_0": {"centroid": [0, 0, 0],
+                               "elements": [["img0", 0], ["img1", 1]]}}
+    json.dump(split_train, open(root / "train" / "split_block_train.json", "w"))
+    json.dump(meta, open(root / "train" / "train_all_meta.json", "w"))
+    json.dump({"block_0": [["img2", 0]]},
+              open(root / "val" / "split_block_val.json", "w"))
+    json.dump(meta, open(root / "val" / "val_all_meta.json", "w"))
+    block_dir = root / "block0"
+    preprocess.extract_block_meta(str(root), 0, str(block_dir),
+                                  copy_images=False)
+
+    monkeypatch.setattr(sys, "argv",
+                        ["visualize", "--data_path", str(block_dir)])
+    assert visualize._main() == 0
+    wrote = capsys.readouterr().out.strip().splitlines()
+    assert len(wrote) == 4  # train/val/test cameras + block split
+    for p in wrote:
+        assert os.path.getsize(p) > 0
+    assert any(p.endswith("block_split.png") for p in wrote)

@@ -124,3 +124,58 @@ def plot_block_split(blocks: dict, out_path: str) -> None:
     ax.set_title("block split (top-down)")
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def _main() -> int:
+    """CLI counterpart of the reference's ``data_preprocess/visualize_cameras
+    .py --data_path <block_dir>`` (headless: PNGs instead of an open3d
+    window). Reads the unified per-block ``metadata.json`` written by
+    :func:`~unboundednerfpytorch_tpu.data.preprocess.extract_block_meta`
+    and plots each split's camera frusta; when a ``split_block_train.json``
+    block map is present (the block dir itself or ``<data_path>/train/``),
+    also emits the top-down block-split map."""
+    import argparse
+    import json
+    import os
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("--data_path", required=True,
+                    help="block dir containing metadata.json")
+    ap.add_argument("--out_dir", default=None,
+                    help="PNG output dir (default: the data dir)")
+    args = ap.parse_args()
+    out_dir = args.out_dir or args.data_path
+    os.makedirs(out_dir, exist_ok=True)
+
+    meta_path = os.path.join(args.data_path, "metadata.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    wrote = []
+    colors = {"train": "tab:blue", "val": "tab:orange", "test": "tab:green"}
+    for split, d in meta.items():
+        poses = np.asarray(d["cam2world"], np.float64)
+        if poses.size == 0:
+            continue
+        out = os.path.join(out_dir, f"cameras_{split}.png")
+        plot_cameras(poses, out, color=colors.get(split, "tab:blue"),
+                     title=f"{split} cameras ({len(poses)})")
+        wrote.append(out)
+    for cand in (
+        os.path.join(args.data_path, "split_block_train.json"),
+        os.path.join(args.data_path, "train", "split_block_train.json"),
+        os.path.join(os.path.dirname(os.path.abspath(args.data_path)),
+                     "train", "split_block_train.json"),
+    ):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                blocks = json.load(f)
+            out = os.path.join(out_dir, "block_split.png")
+            plot_block_split(blocks, out)
+            wrote.append(out)
+            break
+    print("\n".join(wrote))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
