@@ -228,3 +228,14 @@ def test_nearclip_pins_reference_semantics():
     np.testing.assert_allclose(np.asarray(grad), dt.grad.numpy())
     # the gradient is the mask: nearclip is a real (constant-slope) penalty
     assert np.asarray(grad).sum() > 0
+
+    # survival-mask variant: the reference indexes the COMPACTED density
+    # (run_train.py:264-266) — sub-threshold samples get no push-down
+    m = jnp.asarray(np.random.default_rng(1).random((4, 8)) > 0.4)
+    _, grad_m = jax.value_and_grad(lambda x: L.nearclip(x, t, 0.5, mask=m))(d)
+    ref_m = ((dt - dt.detach()) * (mask & torch.tensor(np.asarray(m)))).sum()
+    np.testing.assert_allclose(
+        np.asarray(grad_m),
+        (mask & torch.tensor(np.asarray(m))).to(torch.float32).numpy(),
+    )
+

@@ -186,3 +186,99 @@ def test_two_stage_cache_with_zero_thres_falls_back_exactly():
         np.asarray(res_c.rgb_marched), np.asarray(res_nc.rgb_marched),
         rtol=1e-5, atol=1e-6,
     )
+
+
+# ---------------------------------------------------------------------------
+# two-stage TRAINING forward (train_survivor_budget)
+# ---------------------------------------------------------------------------
+
+
+def _sparse_params(cfg):
+    """Params with a localized density bump (so the fast_color_thres keeps a
+    handful of samples per ray and no ray overflows the survivor budget)."""
+    params = fg.create(cfg, jax.random.PRNGKey(0))
+    ws = params.density.grid.shape[1:4]
+    ax = [jnp.linspace(-1, 1, n) for n in ws]
+    xyz = jnp.stack(jnp.meshgrid(*ax, indexing="ij"), -1)
+    bump = 6.0 * jnp.exp(-jnp.sum(xyz**2, -1) / 0.05) - 4.0
+    return params.replace(
+        density=params.density.replace(
+            grid=params.density.grid + bump[None, ..., None]
+        )
+    )
+
+
+def test_train_two_stage_matches_plain_values_and_grads():
+    """The two-stage TRAINING forward (stop-grad probe -> survivor
+    compaction -> differentiable fused gather) must reproduce the plain
+    masked forward's outputs AND parameter gradients exactly when no ray
+    overflows the survivor budget — the reference-gradient-exactness claim
+    of models/fourier_grid._forward_train_two_stage."""
+    cfg1 = _cfg(
+        scene_radius=(3.0, 3.0, 3.0), num_voxels_density=24**3,
+        num_voxels_rgb=24**3, num_voxels_base_density=24**3,
+        num_voxels_base_rgb=24**3, fourier_freq_num=2,
+        fast_color_thres=1e-3, stepsize=0.5,
+    )
+    cfg2 = dataclasses.replace(cfg1, train_survivor_budget=24)
+    params = _sparse_params(cfg1)
+    k = jax.random.PRNGKey(1)
+    ro = jax.random.normal(k, (48, 3)) * 0.3 + jnp.array([2.5, 0.0, 0.0])
+    rd = -ro / jnp.linalg.norm(ro, axis=-1, keepdims=True)
+    vd = rd
+
+    def run(c, sub):
+        p = params.replace(
+            density=params.density.replace(grid=sub["d"]),
+            k0=params.k0.replace(grid=sub["k"]),
+            rgbnet=params.rgbnet.replace(weights=sub["w"]),
+        )
+        r = fg.forward(p, c, ro, rd, vd)
+        loss = (
+            jnp.sum(r.rgb_marched**2) + jnp.sum(r.weights) + jnp.sum(r.depth)
+        )
+        return loss, r
+
+    sub = {"d": params.density.grid, "k": params.k0.grid,
+           "w": params.rgbnet.weights}
+    (l1, r1), g1 = jax.value_and_grad(lambda s: run(cfg1, s), has_aux=True)(sub)
+    (l2, r2), g2 = jax.value_and_grad(lambda s: run(cfg2, s), has_aux=True)(sub)
+
+    # the branch actually compacted (shape proves the two-stage path ran)
+    assert r2.weights.shape[1] == 24
+    assert r1.weights.shape[1] > 24
+    assert float(r2.color_overflow_frac) == 0.0
+
+    np.testing.assert_allclose(
+        np.asarray(r1.rgb_marched), np.asarray(r2.rgb_marched),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.alphainv_last), np.asarray(r2.alphainv_last),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for name in ("d", "k"):
+        np.testing.assert_allclose(
+            np.asarray(g1[name]), np.asarray(g2[name]), rtol=2e-4, atol=1e-6
+        )
+    for a, b in zip(g1["w"], g2["w"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_train_two_stage_inactive_below_thres_gate():
+    """Below train_two_stage_thres the plain path must run (early-training
+    thresholds pass nearly every sample; a fixed budget would truncate)."""
+    cfg1 = _cfg(
+        scene_radius=(3.0, 3.0, 3.0), num_voxels_density=24**3,
+        num_voxels_rgb=24**3, num_voxels_base_density=24**3,
+        num_voxels_base_rgb=24**3, fourier_freq_num=2,
+        fast_color_thres=5e-6, stepsize=0.5,
+    )
+    cfg2 = dataclasses.replace(cfg1, train_survivor_budget=24)
+    params = _sparse_params(cfg1)
+    ro, rd, vd = _rays(16, 5)
+    r = fg.forward(params, cfg2, ro, rd, vd)
+    assert r.weights.shape[1] > 24  # full-shape: branch did NOT compact

@@ -538,13 +538,12 @@ def _torch_fourier_query(grid_bxyzc, xyz_m11, num_freqs):
         banks.append(torch.sin(freqs[k] * ind))
         banks.append(torch.cos(freqs[k] * ind))
     g = grid_bxyzc.permute(0, 4, 1, 2, 3)
-    out = 0
-    for b in range(B):
-        coords = banks[b].reshape(1, 1, 1, M, 3)
-        v = F.grid_sample(g[b : b + 1], coords, mode="bilinear",
-                          align_corners=True)
-        out = out + v.reshape(C, M).T
-    return (out / B).reshape(*lead, C)
+    # ONE batched grid_sample over the bank axis (the reference's own
+    # batching, FourierGrid_grid.py:67-72) — ~2x the per-bank loop on CPU
+    coords = torch.stack(banks).reshape(B, 1, 1, M, 3)
+    v = F.grid_sample(g, coords, mode="bilinear", align_corners=True)
+    out = v.reshape(B, C, M).permute(0, 2, 1).mean(0)
+    return out.reshape(*lead, C)
 
 
 def _torch_scan(alpha, early_exit=1e-3):

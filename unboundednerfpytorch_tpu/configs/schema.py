@@ -153,6 +153,12 @@ class ModelRenderConfig:
     # Color stays exact; training is unaffected. ~2.4x render throughput at
     # >40dB vs the exact render (bench.py measures per scene). 0 = off.
     density_bake_scale: float = 0.0
+    # Two-stage TRAINING forward (models/fourier_grid.FourierGridConfig
+    # .train_survivor_budget): stop-grad density probe -> fixed survivor
+    # budget -> differentiable fused gather on survivors only. Active once
+    # the fast_color_thres schedule reaches train_two_stage_thres. 0 = off.
+    train_survivor_budget: int = 0
+    train_two_stage_thres: float = 1e-4
 
 
 @dataclasses.dataclass(frozen=True)

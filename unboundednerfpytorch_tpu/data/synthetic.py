@@ -99,3 +99,154 @@ def make_data_dict(n_views: int = 8, H: int = 48, W: int = 48, n_test: int = 2):
         "images": images,
         "irregular_shape": False,
     }
+
+
+# ---------------------------------------------------------------------------
+# unbounded scene (full-recipe convergence gate)
+# ---------------------------------------------------------------------------
+
+
+def _scene_density_color(pts: jnp.ndarray, shell_radius: float):
+    """Analytic density/color field of the unbounded test scene: textured
+    inner geometry (sphere cluster + ground slab, multi-frequency sinusoid
+    textures) plus a far emissive background shell — the scene shape the
+    contracted-coordinate recipe is built for (inner linspace covers the
+    cluster, the 1/s outer samples cover the shell)."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+
+    # inner cluster: four textured spheres
+    spheres = (
+        ((0.45, 0.0, -0.1), 0.38),
+        ((-0.4, 0.35, 0.05), 0.30),
+        ((-0.15, -0.5, -0.2), 0.26),
+        ((0.05, 0.15, 0.42), 0.22),
+    )
+    density = jnp.zeros(pts.shape[:-1], pts.dtype)
+    color = jnp.zeros(pts.shape, pts.dtype)
+    weight_acc = jnp.zeros(pts.shape[:-1], pts.dtype)
+    base_colors = (
+        (0.9, 0.35, 0.25), (0.25, 0.7, 0.9), (0.4, 0.85, 0.3), (0.9, 0.8, 0.2)
+    )
+    tex_freqs = (7.0, 9.0, 11.0, 13.0)
+    for (c, r), bc, f in zip(spheres, base_colors, tex_freqs):
+        d2 = jnp.sum((pts - jnp.asarray(c)) ** 2, -1)
+        inside = (d2 < r * r).astype(pts.dtype)
+        density = density + inside * 60.0
+        tex = 0.5 + 0.5 * jnp.sin(f * x) * jnp.sin(f * 1.31 * y + 0.7) * jnp.sin(
+            f * 0.77 * z + 1.9
+        )
+        col = jnp.asarray(bc) * (0.35 + 0.65 * tex[..., None])
+        color = color + inside[..., None] * col
+        weight_acc = weight_acc + inside
+
+    # ground slab with a checker-ish sinusoid texture
+    slab = ((z > -0.62) & (z < -0.5) & (jnp.abs(x) < 1.1) & (jnp.abs(y) < 1.1))
+    slab_f = slab.astype(pts.dtype)
+    density = density + slab_f * 60.0
+    check = 0.5 + 0.5 * jnp.sin(10.0 * x) * jnp.sin(10.0 * y)
+    slab_col = jnp.stack([0.25 + 0.5 * check, 0.25 + 0.3 * check,
+                          0.35 + 0.2 * check], -1)
+    color = color + slab_f[..., None] * slab_col
+    weight_acc = weight_acc + slab_f
+
+    # far background: thick emissive shell, smooth direction texture
+    rad = jnp.linalg.norm(pts, axis=-1)
+    shell = (rad > shell_radius).astype(pts.dtype)
+    density = density + shell * 60.0
+    u = pts / jnp.maximum(rad[..., None], 1e-6)
+    sky = jnp.stack([
+        0.55 + 0.35 * jnp.sin(2.0 * u[..., 0] + 3.0 * u[..., 2]),
+        0.55 + 0.35 * jnp.sin(2.5 * u[..., 1] - 1.3),
+        0.6 + 0.3 * jnp.cos(3.0 * u[..., 0] * u[..., 1] + 0.4),
+    ], -1)
+    color = color + shell[..., None] * jnp.clip(sky, 0.0, 1.0)
+    weight_acc = weight_acc + shell
+
+    color = color / jnp.maximum(weight_acc[..., None], 1.0)
+    return density, jnp.clip(color, 0.0, 1.0)
+
+
+def unbounded_scene_images(
+    n_views: int = 15,
+    H: int = 64,
+    W: int = 64,
+    shell_radius: float = 12.0,
+    n_steps: int = 768,
+    bg: float = 1.0,
+):
+    """Ground-truth renders of the unbounded test scene by dense analytic
+    volume integration out past the background shell. Cameras orbit the
+    inner cluster at alternating elevations (the 360-capture pattern of the
+    Mip-NeRF-360 scenes the recipe targets)."""
+    poses = []
+    for k in range(n_views):
+        theta = 2 * np.pi * k / n_views
+        elev = 0.35 if k % 2 == 0 else 0.65
+        pos = np.array([
+            3.0 * np.cos(theta) * np.cos(elev),
+            3.0 * np.sin(theta) * np.cos(elev),
+            3.0 * np.sin(elev),
+        ])
+        poses.append(look_at_pose(pos, np.zeros(3)))
+    poses = np.stack(poses).astype(np.float32)
+    focal = 0.9 * W
+    K = np.array(
+        [[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], dtype=np.float32
+    )
+
+    t = jnp.linspace(0.05, shell_radius + 2.0, n_steps)
+    dt = t[1] - t[0]
+
+    def render_view(c2w):
+        ro, rd, _ = ray_ops.get_rays_of_a_view(H, W, jnp.asarray(K), c2w)
+        ro = ro.reshape(-1, 3)
+        rd = rd.reshape(-1, 3)
+
+        def chunk(c):
+            co, cd = c
+            pts = co[:, None, :] + cd[:, None, :] * t[None, :, None]
+            density, color = _scene_density_color(pts, shell_radius)
+            alpha = 1.0 - jnp.exp(
+                -density * dt * jnp.linalg.norm(cd, axis=-1)[:, None]
+            )
+            t_excl = jnp.cumprod(1 - alpha + 1e-10, -1) / (1 - alpha + 1e-10)
+            w = t_excl * alpha
+            rgb = jnp.einsum("ns,nsc->nc", w, color)
+            return rgb + (1 - w.sum(-1))[:, None] * bg
+
+        n = ro.shape[0]
+        c = next(c for c in range(min(1024, n), 0, -1) if n % c == 0)
+        return jax.lax.map(
+            chunk, (ro.reshape(n // c, c, 3), rd.reshape(n // c, c, 3))
+        ).reshape(H, W, 3)
+
+    render = jax.jit(render_view)
+    images = np.stack([np.asarray(render(p[:3, :4])) for p in poses])
+    return images.astype(np.float32), poses, K
+
+
+def make_unbounded_data_dict(
+    n_train: int = 12, n_test: int = 3, H: int = 64, W: int = 64
+):
+    """Reference-shaped data_dict for the unbounded scene: train/test split,
+    near_clip set (exercises weight_nearclip), llff-unbounded conventions."""
+    n = n_train + n_test
+    images, poses, K = unbounded_scene_images(n, H, W)
+    i_all = np.arange(n)
+    # held-out views interleaved like llffhold
+    i_test = i_all[:: max(n // max(n_test, 1), 1)][:n_test]
+    i_train = np.setdiff1d(i_all, i_test)
+    return {
+        "HW": np.array([[H, W]] * n),
+        "Ks": np.stack([K] * n),
+        "near": 0.2,
+        "far": 1e9,
+        "near_clip": 0.3,
+        "i_train": i_train,
+        "i_val": i_test,
+        "i_test": i_test,
+        "poses": poses,
+        "render_poses": poses[i_test],
+        "images": images,
+        "irregular_shape": False,
+    }

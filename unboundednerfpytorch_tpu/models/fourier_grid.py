@@ -85,6 +85,22 @@ class FourierGridConfig:
     # tiny at scale>=1.6 (PSNR-vs-exact gated in tests/test_two_stage.py and
     # measured per-scene by bench.py); it never affects training. 0 = off.
     density_bake_scale: float = 0.0
+    # Two-stage TRAINING forward: a stop-gradient density probe on cheap
+    # folded 1-channel tables picks each ray's first `train_survivor_budget`
+    # samples with alpha > fast_color_thres; only those are re-gathered
+    # DIFFERENTIABLY (fused density+k0 rows) and fed to the scan/rgb head.
+    # Matches reference gradients exactly: the reference's first
+    # fast_color_thres compaction (FourierGrid_model.py:586-598) happens
+    # before the scan, so dropped samples receive zero cotangent there too,
+    # and zero-alpha samples do not alter transmittance. Rays with more
+    # than the budget of surviving samples truncate their far tail
+    # (lowest-transmittance; observable via RenderResult.color_overflow_frac).
+    # 0 = off. Only active when fast_color_thres >= train_two_stage_thres
+    # (early-training thresholds pass nearly every sample, which would
+    # overflow any fixed budget) — the step-keyed thres schedule makes this
+    # a natural re-jit boundary.
+    train_survivor_budget: int = 0
+    train_two_stage_thres: float = 1e-4
 
     @property
     def xyz_min(self) -> tuple:
@@ -195,6 +211,8 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         budget_probe_stride=getattr(cfg_model, "budget_probe_stride", 1),
         color_budget=getattr(cfg_model, "color_budget", 0),
         density_bake_scale=getattr(cfg_model, "density_bake_scale", 0.0),
+        train_survivor_budget=getattr(cfg_model, "train_survivor_budget", 0),
+        train_two_stage_thres=getattr(cfg_model, "train_two_stage_thres", 1e-4),
     )
 
 
@@ -549,6 +567,25 @@ def forward(
             bg, rand_bkgd_key, img_index, n_max,
         )
 
+    # Two-stage TRAINING forward (no cache): stop-gradient density probe on
+    # cheap folded tables -> per-ray survivor compaction -> differentiable
+    # fused gather on survivors only (reference-gradient-exact; see the
+    # train_survivor_budget config doc).
+    if (
+        cache is None
+        and cfg.train_survivor_budget > 0
+        and thres > 0
+        and thres >= cfg.train_two_stage_thres
+        and cfg.train_survivor_budget < S
+        and spatial_mesh is None
+        and _fused_banks(params, cfg)
+        and cfg.fourier_freq_num > 0
+    ):
+        return _forward_train_two_stage(
+            params, cfg, pts, t2, mask, viewdirs, interval, thres,
+            bg, rand_bkgd_key, img_index, n_max,
+        )
+
     # Fused field query: when density and k0 share resolution + bank
     # structure (the garden/default fine config), gather BOTH from one
     # concatenated [B*XYZ, 1+k0_dim] table — halves the gather-row count,
@@ -773,6 +810,115 @@ def _forward_two_stage(
         n_max=n_max,
         color_overflow_frac=overflow_frac,
         rgb_compacted=True,
+    )
+
+
+def _forward_train_two_stage(
+    params, cfg, pts, t2, mask, viewdirs, interval, thres,
+    bg, rand_bkgd_key, img_index, n_max,
+):
+    """Two-stage TRAINING forward — reference-gradient-exact survivor
+    compaction (VERDICT r3 next-round #3).
+
+    The reference's first fast_color_thres compaction
+    (FourierGrid_model.py:586-598) gathers BEFORE the transmittance scan, so
+    samples with alpha <= thres (a) contribute nothing to any output and
+    (b) receive zero gradient. Exploit that: a STOP-GRADIENT density probe
+    on cheap folded 1-channel tables computes the survivor mask, each ray
+    compacts to its first `train_survivor_budget` survivors, and only those
+    are re-gathered differentiably — fused density+k0 rows, so the
+    expensive fwd gather + bwd scatter row count drops from S to the
+    survivor budget. The scan runs on the compacted alpha stream, which is
+    EXACT: dropped samples have alpha == 0, so the running transmittance at
+    every kept sample is unchanged.
+
+    Rays with more surviving samples than the budget truncate their far
+    (lowest-transmittance) tail — observable via color_overflow_frac and
+    gated by the trajectory-parity suite."""
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+
+    N, S = pts.shape[:2]
+    B = params.density.grid.shape[0]
+    dims = params.density.grid.shape[1:4]
+    sg = jax.lax.stop_gradient
+
+    # --- stage A: stop-grad density probe on folded 1-channel tables -------
+    fold = max(1, 128 // 8)
+    c01b = jnp.moveaxis(_bank_coords01(cfg, sg(pts)), -2, 0)  # [B,N,S,3]
+    density_probe = None
+    for b in range(B):
+        table = packed_ops.pack_corners_folded(sg(params.density.grid[b]), fold)
+        base, w = packed_ops.corner_base_and_weights(c01b[b], dims)
+        v = packed_ops.packed_trilerp_folded(table, base, w, 1, fold)
+        density_probe = v if density_probe is None else density_probe + v
+    density_probe = density_probe[..., 0] / B
+    alpha_probe = alpha_ops.raw2alpha(
+        density_probe, sg(params.act_shift), interval
+    )
+    mask1 = mask & (alpha_probe > thres)
+
+    tb = cfg.train_survivor_budget
+    overflow_frac = jnp.mean((jnp.sum(mask1, axis=-1) > tb).astype(jnp.float32))
+    sel, selm = sampling.compact_samples(mask1, tb)
+    stacked = jnp.concatenate([pts, t2[..., None]], axis=-1)
+    g = sampling.gather_samples(stacked, sel)
+    pts_c = g[..., :3]
+    t_c = g[..., 3]
+
+    # --- stage B: differentiable fused gather on the survivors -------------
+    cf = 1 + cfg.k0_dim
+    c01c = jnp.moveaxis(_bank_coords01(cfg, pts_c), -2, 0)  # [B,N,tb,3]
+    vals = None
+    for b in range(B):
+        table = packed_ops.pack_corners(
+            jnp.concatenate(
+                [params.density.grid[b], params.k0.grid[b]], axis=-1
+            )
+        )
+        base, w = packed_ops.corner_base_and_weights(c01c[b], dims)
+        v = packed_ops.packed_trilerp(table, base, w, cf)
+        vals = v if vals is None else vals + v
+    vals = vals / B
+    density = vals[..., 0]
+    k0 = vals[..., 1:]
+
+    alpha = activate_density(params, cfg, density, interval)
+    # re-apply the threshold on the exact values (bitwise-identical math to
+    # the probe — folded select adds exact zeros — so this matches mask1 at
+    # the selected positions; kept as the semantic gate, not a heuristic)
+    mask_c = selm & (alpha > thres)
+    weights, alphainv_last = alpha_ops.alpha2weights(alpha, mask=mask_c)
+    mask_c = mask_c & (weights > thres)
+    weights = weights * mask_c.astype(weights.dtype)
+
+    rgb = _rgb_head(params, cfg, k0, viewdirs, img_index, N, tb)
+    if rand_bkgd_key is not None:
+        bg_color = jax.random.uniform(rand_bkgd_key, (N, 3))
+        rgb_marched = (
+            jnp.einsum("ns,nsc->nc", weights, rgb)
+            + alphainv_last[:, None] * bg_color
+        )
+    else:
+        rgb_marched = common.composite(weights, rgb, alphainv_last, bg)
+
+    s_c = 1.0 - 1.0 / (1.0 + t_c)
+    depth = jnp.sum(weights * s_c, axis=-1)
+    # every per-sample output is CONSISTENTLY compacted to [N, tb], so the
+    # training losses (rgbper/distortion/nearclip over weights/s/t/mask)
+    # pair correctly — unlike the render cache's rgb_compacted layout
+    return common.RenderResult(
+        rgb_marched=rgb_marched,
+        alphainv_last=alphainv_last,
+        weights=weights,
+        raw_alpha=alpha,
+        raw_rgb=rgb,
+        raw_density=density,
+        mask=mask_c,
+        t=t_c,
+        s=s_c,
+        depth=depth,
+        n_max=n_max,
+        color_overflow_frac=overflow_frac,
     )
 
 

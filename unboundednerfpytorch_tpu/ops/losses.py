@@ -86,7 +86,8 @@ def distortion(
 
 
 def nearclip(
-    raw_density: jnp.ndarray, t: jnp.ndarray, near_thres: float
+    raw_density: jnp.ndarray, t: jnp.ndarray, near_thres: float,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Near-camera density penalty (run_train.py:262-268).
 
@@ -95,8 +96,16 @@ def nearclip(
     density is the near mask itself — i.e. a constant-slope push-down on
     density at near-camera samples, scaled by weight_nearclip. Pinned
     against the torch expression in tests/test_ops_golden.py.
+
+    ``mask``: sample-survival mask. The reference indexes the COMPACTED
+    ``raw_density``/``t`` (post fast_color_thres compaction,
+    run_train.py:264-266), so sub-threshold samples receive no push-down;
+    in fixed-shape-masked form that is ``(t < thres) & mask``.
     """
     import jax
 
-    near_mask = (t < near_thres).astype(raw_density.dtype)
+    near_mask = t < near_thres
+    if mask is not None:
+        near_mask = near_mask & mask
+    near_mask = near_mask.astype(raw_density.dtype)
     return jnp.sum((raw_density - jax.lax.stop_gradient(raw_density)) * near_mask)

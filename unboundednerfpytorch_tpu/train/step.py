@@ -126,7 +126,7 @@ def make_train_step(
             loss = loss + train_cfg.weight_entropy_last * L.entropy_last(res.alphainv_last)
         if train_cfg.weight_nearclip > 0 and near_thres > 0:
             loss = loss + train_cfg.weight_nearclip * L.nearclip(
-                res.raw_density, res.t, near_thres
+                res.raw_density, res.t, near_thres, mask=res.mask
             )
         if train_cfg.weight_distortion > 0:
             loss = loss + train_cfg.weight_distortion * L.distortion(
