@@ -250,3 +250,138 @@ def make_unbounded_data_dict(
         "images": images,
         "irregular_shape": False,
     }
+
+
+# ---------------------------------------------------------------------------
+# street scene (Block-NeRF end-to-end gate)
+# ---------------------------------------------------------------------------
+
+
+def _street_density_color(pts: jnp.ndarray):
+    """Analytic density/color of the synthetic street: textured building
+    boxes on both sides, a ground slab, all along the x axis — the
+    city-block capture pattern Block-NeRF targets (cameras drive down the
+    street, scene split into overlapping blocks by camera position)."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    density = jnp.zeros(pts.shape[:-1], pts.dtype)
+    color = jnp.zeros(pts.shape, pts.dtype)
+    wsum = jnp.zeros(pts.shape[:-1], pts.dtype)
+
+    # buildings: boxes centered every 2.4 x-units on both sides
+    centers = (-3.6, -1.2, 1.2, 3.6)
+    palettes = (
+        (0.85, 0.4, 0.3), (0.35, 0.6, 0.85), (0.5, 0.8, 0.4), (0.85, 0.75, 0.35)
+    )
+    for side in (-1.0, 1.0):
+        for cx, base in zip(centers, palettes):
+            inside = (
+                (jnp.abs(x - cx) < 0.7)
+                & (jnp.abs(y - side * 1.8) < 0.5)
+                & (z > -0.5) & (z < 1.0 + 0.3 * jnp.sin(3.0 * cx))
+            )
+            f = inside.astype(pts.dtype)
+            density = density + f * 50.0
+            tex = 0.5 + 0.5 * jnp.sin(9.0 * x + 2.0 * side) * jnp.sin(
+                7.0 * z + 1.0
+            )
+            col = jnp.asarray(base) * (0.4 + 0.6 * tex[..., None])
+            color = color + f[..., None] * col
+            wsum = wsum + f
+
+    ground = (z > -0.62) & (z < -0.5)
+    gf = ground.astype(pts.dtype)
+    density = density + gf * 50.0
+    check = 0.5 + 0.5 * jnp.sin(6.0 * x) * jnp.sin(6.0 * y)
+    color = color + gf[..., None] * jnp.stack(
+        [0.3 + 0.3 * check, 0.3 + 0.3 * check, 0.32 + 0.2 * check], -1
+    )
+    wsum = wsum + gf
+    color = color / jnp.maximum(wsum[..., None], 1.0)
+    return density, jnp.clip(color, 0.0, 1.0)
+
+
+def make_street_scene(
+    n_views: int = 16,
+    H: int = 40,
+    W: int = 56,
+    near: float = 0.05,
+    far: float = 14.0,
+    n_steps: int = 448,
+):
+    """Synthetic street capture for the Block-NeRF e2e gate.
+
+    Cameras drive down the street (x in [-3.2, 3.2], alternating slight
+    yaw), each with its own ``equivalent_exposure`` scaling the GT image
+    (exercises the exposure conditioning). Returns
+    (views, images) where ``views[i]`` is a reference-shaped img_info dict
+    (c2w/intrinsics/W/H/equivalent_exposure/image_name — the
+    models/block_nerf/dataset.py metadata contract) and images[i] the
+    [H, W, 3] GT, both rendered along the EXACT rays the dataset layer
+    generates (dataset.get_ray_directions conventions)."""
+    from unboundednerfpytorch_tpu.models.block_nerf import dataset as D
+
+    focal = 0.8 * W
+    sky = jnp.asarray([0.65, 0.75, 0.9])
+    t = jnp.linspace(near, far, n_steps)
+    dt = t[1] - t[0]
+
+    @jax.jit
+    def render_rays_gt(ro, rd):
+        pts = ro[:, None, :] + rd[:, None, :] * t[None, :, None]
+        density, color = _street_density_color(pts)
+        alpha = 1.0 - jnp.exp(-density * dt)
+        t_excl = jnp.cumprod(1 - alpha + 1e-10, -1) / (1 - alpha + 1e-10)
+        w = t_excl * alpha
+        rgb = jnp.einsum("ns,nsc->nc", w, color)
+        return rgb + (1 - w.sum(-1))[:, None] * sky
+
+    views, images = [], []
+    for i in range(n_views):
+        xcam = -3.2 + 6.4 * i / max(n_views - 1, 1)
+        cam = np.array([xcam, 0.0, 0.55])
+        yaw = 0.55 if i % 2 == 0 else -0.55
+        target = np.array([xcam + 2.2, yaw * 2.0, 0.25])
+        c2w = look_at_pose(cam, target)
+        exposure = 0.85 + 0.3 * (i % 4) / 3.0
+        info = {
+            "c2w": c2w[:3].tolist(),
+            "intrinsics": [focal, focal],
+            "W": W,
+            "H": H,
+            "equivalent_exposure": exposure,
+            "image_name": f"street_{i:03d}",
+        }
+        dirs = D.get_ray_directions(H, W, np.array(
+            [[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32
+        ))
+        ro, rd = D.get_rays(dirs, np.asarray(c2w[:3], np.float32))
+        rgb = np.asarray(render_rays_gt(jnp.asarray(ro), jnp.asarray(rd)))
+        img = np.clip(rgb.reshape(H, W, 3) * exposure, 0.0, 1.0)
+        views.append(info)
+        images.append(img.astype(np.float32))
+    return views, images
+
+
+def split_street_blocks(views, overlap: float = 1.2):
+    """Partition street views into two overlapping blocks by camera x
+    (split_block.py semantics at toy scale): returns a block_split dict
+    {block: {"centroid": [x,y,z], "elements": [(image_name, appearance_id)]}}
+    with GLOBAL appearance ids (one shared table across blocks)."""
+    xs = np.array([np.asarray(v["c2w"])[0, 3] for v in views])
+    mid = float(np.median(xs))
+    if len(xs) > 1:
+        spacing = float(np.max(np.diff(np.sort(xs))))
+        overlap = max(overlap, 2.1 * spacing)  # ≥2 views in the overlap
+    split = {}
+    for name, keep in (
+        ("block_0", xs <= mid + overlap / 2),
+        ("block_1", xs >= mid - overlap / 2),
+    ):
+        ids = np.nonzero(keep)[0]
+        split[name] = {
+            "centroid": np.mean(
+                [np.asarray(views[i]["c2w"])[:3, 3] for i in ids], axis=0
+            ).tolist(),
+            "elements": [(views[i]["image_name"], int(i)) for i in ids],
+        }
+    return split

@@ -38,6 +38,8 @@ def distance_weight(origin, centroid, p: int = 4) -> float:
 
 def render_block(params, rays, ts, chunk: int = 4096, **render_kwargs):
     """Chunked full-image render of one block (batched_inference)."""
+    # checkpoints/device_get hand numpy pytrees; tracers can't index numpy
+    params = jax.tree.map(jnp.asarray, params)
     n = rays.shape[0]
     n_pad = (-n) % chunk
     if n_pad:

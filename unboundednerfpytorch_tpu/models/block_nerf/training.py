@@ -52,16 +52,19 @@ def make_train_step(
     lambda_mu: float = 0.01,
     visi_loss: float = 1e-2,
     use_disp: bool = True,
+    **render_kwargs,
 ):
     """use_disp defaults True like the reference CLI
-    (train_block_nerf.py:53): log-linear depth sampling."""
+    (train_block_nerf.py:53): log-linear depth sampling. Extra
+    ``render_kwargs`` (xyz_freqs/dir_freqs/exposure_freqs) pass through to
+    the renderer for non-default model sizes."""
     tx = make_optimizer(lr)
 
     def loss_fn(params, batch, key):
         results = R.render_rays(
             params, batch["rays"], batch["ts"], key=key,
             n_samples=n_samples, n_importance=n_importance,
-            use_disp=use_disp,
+            use_disp=use_disp, **render_kwargs,
         )
         losses = M.block_nerf_loss(
             results, batch["rgbs"], lambda_mu=lambda_mu, visi_loss=visi_loss
@@ -99,12 +102,14 @@ def train_block(
     use_disp: bool = True,
     n_samples: int = 64,
     n_importance: int = 64,
+    **render_kwargs,
 ):
     """Train one block. With a mesh, the ray batch is sharded over the data
     axis; grads all-reduce over ICI automatically (the DDP replacement)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     step_fn = make_train_step(
-        n_samples=n_samples, n_importance=n_importance, use_disp=use_disp
+        n_samples=n_samples, n_importance=n_importance, use_disp=use_disp,
+        **render_kwargs,
     )
 
     @jax.jit
