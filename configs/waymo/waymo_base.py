@@ -5,6 +5,12 @@ basedir = './logs/waymo'
 
 alpha_init = 1e-2
 stepsize = 0.5
+_mpi_depth = 256
+# debug-only pose-visualization mode (waymo_base.py:11-27): flips the recipe
+# into a short coarse run with a flat threshold and no distortion loss so
+# exported cameras/coarse geometry can be eyeballed. The CLI flag
+# --visualize_poses applies the same transformation to ANY config.
+visualize_poses = False
 
 data = dict(
     dataset_type='waymo',
@@ -14,7 +20,10 @@ data = dict(
     unbounded_inward=True,
 )
 
-coarse_train = dict(N_iters=0, ray_sampler='flatten')
+if visualize_poses:  # for debugging only
+    coarse_train = dict(N_iters=600, ray_sampler='flatten')
+else:
+    coarse_train = dict(N_iters=0, ray_sampler='flatten')
 
 fine_train = dict(
     N_iters=30000,

@@ -65,3 +65,35 @@ def test_waymo_block_config():
     assert cfg.data.sample_cam == 73
     assert cfg.fine_train.N_iters == 40000
     assert cfg.model == "FourierGrid"
+
+
+def test_visualize_poses_debug_mode():
+    """The reference's visualize_poses debug regime (waymo_base.py:11-27):
+    the config-file toggle AND the CLI-level transformation both flip the
+    recipe into a 600-iter coarse run with a flat threshold and no
+    distortion loss."""
+    import os
+
+    from unboundednerfpytorch_tpu.configs import loader
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+    path = os.path.join(root, "waymo", "waymo_base.py")
+
+    # base file carries the toggle (defaults off)
+    src = open(path).read()
+    assert "visualize_poses = False" in src
+
+    cfg = loader.load_config(path, visualize_poses=True)
+    assert cfg.coarse_train.N_iters == 600
+    assert cfg.fine_train.weight_distortion == 0.0
+    from unboundednerfpytorch_tpu.configs.schema import normalize_fast_color_thres
+
+    thres, sched = normalize_fast_color_thres(cfg.fine_model_and_render)
+    assert sched == ()  # flat: the step-keyed schedule is cleared
+    assert abs(thres - 0.5 / 256 / 5) < 1e-9
+
+    # the untouched load still has the full recipe
+    cfg0 = loader.load_config(path)
+    assert cfg0.coarse_train.N_iters == 0
+    _, sched0 = normalize_fast_color_thres(cfg0.fine_model_and_render)
+    assert len(sched0) >= 6

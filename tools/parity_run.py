@@ -898,8 +898,17 @@ _SCENES = {
 }
 
 
-def run_real(data_root: str, scenes, log=print) -> int:
+def run_real(data_root: str, scenes, log=print, quick: bool = False,
+             work_dir: str | None = None) -> int:
+    """Run the reference benchmark configs end-to-end on on-disk datasets.
+
+    ``quick=True`` is the dress-rehearsal mode (VERDICT r3 #8): the SAME
+    entry path (config load -> load_everything -> run_train -> render_test)
+    but through a derived config that shrinks iteration counts/grids — used
+    with ``data.synthetic.write_fake_360_scene`` to prove the first machine
+    with real data can run the full pipeline unmodified."""
     import os
+    import tempfile
 
     failures = 0
     for scene in scenes:
@@ -911,8 +920,29 @@ def run_real(data_root: str, scenes, log=print) -> int:
             continue
         from unboundednerfpytorch_tpu.cli.main import main as cli_main
 
-        log(f"{scene}: training {config} (expected ~{expect} dB, {src})")
-        rc = cli_main(["--config", config, "--program", "train",
+        run_config = config
+        if quick:
+            wd = work_dir or tempfile.mkdtemp(prefix="parity_quick_")
+            os.makedirs(wd, exist_ok=True)
+            abs_base = os.path.abspath(config)
+            run_config = os.path.join(wd, f"quick_{scene}.py")
+            with open(run_config, "w") as f:
+                f.write(f"""\
+_base_ = {abs_base!r}
+expname = 'dress_rehearsal_{scene}'
+basedir = {os.path.join(wd, 'logs')!r}
+data = dict(datadir={os.path.join(data_root, probe)!r})
+fine_train = dict(N_iters=60, N_rand=512, pg_scale=[15, 30],
+                  tv_before=50, tv_dense_before=50)
+coarse_train = dict(N_iters=0)
+fine_model_and_render = dict(
+    num_voxels_density=32**3, num_voxels_rgb=32**3,
+    num_voxels_base_density=32**3, num_voxels_base_rgb=32**3,
+    fast_color_thres={{'_delete_': True, 0: 5e-6, 20: 1e-4}},
+)
+""")
+        log(f"{scene}: training {run_config} (expected ~{expect} dB, {src})")
+        rc = cli_main(["--config", run_config, "--program", "train",
                        "--render_test"])
         failures += rc != 0
     return failures
@@ -940,11 +970,15 @@ def main(argv=None) -> int:
                     help="dvgo only: per-voxel learning rate from view "
                          "counts (adam_upd_with_perlr path)")
     ap.add_argument("--data_root", default="data")
+    ap.add_argument("--quick", action="store_true",
+                    help="--real dress-rehearsal: same entry path, derived "
+                         "tiny config (pairs with "
+                         "data.synthetic.write_fake_360_scene)")
     ap.add_argument("--scenes", nargs="*", default=["lego", "garden", "truck"],
                     choices=sorted(_SCENES))
     args = ap.parse_args(argv)
     if args.real:
-        return run_real(args.data_root, args.scenes)
+        return run_real(args.data_root, args.scenes, quick=args.quick)
     if args.model == "fourier":
         run_trajectory_parity_fourier(args.steps, args.n_rand, args.tol_db,
                                       loss_zoo=args.loss_zoo,

@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "`grid` mesh axis of this size — for >HBM grids "
                         "(halo-exchange sampling); rays stay data-parallel "
                         "over the remaining devices")
+    p.add_argument("--visualize_poses", action="store_true",
+                   help="debug pose-visualization mode (reference "
+                        "waymo_base.py:11-27): 600-iter coarse run, flat "
+                        "fast_color_thres, no distortion loss — pair with "
+                        "--program export_bbox / export_coarse to eyeball "
+                        "cameras and coarse geometry")
     p.add_argument("--constant_baked", action="store_true",
                    help="compile the packed render tables into the render "
                         "executable as constants: 1.5-2.2x faster gathers "
@@ -130,7 +136,7 @@ def main(argv=None) -> int:
     # 250-600s per-scene compile is paid once, not per run)
     enable_persistent_compilation_cache()
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, visualize_poses=args.visualize_poses)
     np.random.seed(args.seed)
 
     # multi-host rendezvous when launched as one process per host (no-op on

@@ -61,5 +61,30 @@ def load_config_dict(path: str) -> dict:
     return _merge(merged, cfg)
 
 
-def load_config(path: str) -> ExpConfig:
-    return exp_config_from_dict(load_config_dict(path))
+def load_config(path: str, visualize_poses: bool = False) -> ExpConfig:
+    d = load_config_dict(path)
+    if visualize_poses:
+        d = apply_visualize_poses(d)
+    return exp_config_from_dict(d)
+
+
+def apply_visualize_poses(d: dict) -> dict:
+    """The reference's ``visualize_poses`` debug mode
+    (``/root/reference/FourierGrid/configs/waymo/waymo_base.py:11-27``),
+    applied as a config transformation so it works on ANY scene config (the
+    reference requires hand-editing the base file): a short 600-iter coarse
+    run, a flat fast_color_thres of stepsize/_mpi_depth/5, and no
+    distortion loss — the regime used to eyeball exported cameras/coarse
+    geometry before committing to a full run."""
+    d = dict(d)
+    stepsize = d.get("stepsize", d.get(
+        "fine_model_and_render", {}).get("stepsize", 0.5))
+    mpi_depth = d.get("_mpi_depth", 256)
+    flat_thres = float(stepsize) / float(mpi_depth) / 5.0
+    d["coarse_train"] = {**d.get("coarse_train", {}), "N_iters": 600}
+    for sec in ("coarse_train", "fine_train"):
+        d[sec] = {**d.get(sec, {}), "weight_distortion": 0.0}
+    for sec in ("coarse_model_and_render", "fine_model_and_render"):
+        d[sec] = {**d.get(sec, {}), "fast_color_thres": flat_thres,
+                  "fast_color_thres_schedule": ()}
+    return d

@@ -385,3 +385,58 @@ def split_street_blocks(views, overlap: float = 1.2):
             "elements": [(views[i]["image_name"], int(i)) for i in ids],
         }
     return split
+
+
+def write_fake_360_scene(basedir: str, n_views: int = 12, H: int = 32,
+                         W: int = 32, factor: int = 8):
+    """Materialize the unbounded test scene in the EXACT on-disk layout of a
+    Mip-NeRF-360 / LLFF capture (the `data/360_v2/garden` layout
+    tools/parity_run.py --real consumes): ``poses_bounds.npy`` in the LLFF
+    storage convention (columns [-up, right, back], hwf at full resolution)
+    plus ``images/`` (full-size) and pre-minified ``images_{factor}/``
+    holding the rendered views — so the real fetch→load→train entry runs
+    unmodified, with no ImageMagick/cv2 minification step.
+
+    The stored convention is the inverse of data/llff.py's load transform
+    (load_llff.py: loaded_col0 = stored_col1, loaded_col1 = -stored_col0),
+    so the loader reconstructs exactly the poses the images were rendered
+    from; the loader's bd_factor/recenter/spherify transforms are gauge
+    (rigid+scale) changes that keep (pose, image) pairs self-consistent."""
+    import os
+
+    import imageio.v2 as imageio
+
+    images, poses, K = unbounded_scene_images(n_views, H, W)
+    os.makedirs(os.path.join(basedir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(basedir, f"images_{factor}"), exist_ok=True)
+
+    rows = []
+    focal_full = float(K[0, 0]) * factor
+    for i in range(n_views):
+        img8 = (np.clip(images[i], 0, 1) * 255).astype(np.uint8)
+        imageio.imwrite(
+            os.path.join(basedir, f"images_{factor}", f"img_{i:03d}.png"), img8
+        )
+        # full-size: nearest-upsampled copy (content-consistent; only the
+        # minified dir is ever read on the factor path)
+        imageio.imwrite(
+            os.path.join(basedir, "images", f"img_{i:03d}.png"),
+            np.repeat(np.repeat(img8, factor, 0), factor, 1),
+        )
+        c2w = poses[i][:3]  # [3,4], columns [right, up, back, t]
+        stored = np.concatenate(
+            [
+                -c2w[:, 1:2],  # stored col0 = -up
+                c2w[:, 0:1],  # stored col1 = right
+                c2w[:, 2:3],
+                c2w[:, 3:4],
+                np.array(
+                    [[H * factor], [W * factor], [focal_full]], np.float64
+                ),
+            ],
+            axis=1,
+        )  # [3,5]
+        rows.append(np.concatenate([stored.reshape(-1), [0.4, 16.0]]))
+    np.save(os.path.join(basedir, "poses_bounds.npy"),
+            np.stack(rows).astype(np.float64))
+    return basedir
