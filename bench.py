@@ -28,7 +28,13 @@ the exact mode's number rides in detail.exact_rays_per_s.
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 we normalize against 1.5e5 rays/s — a representative proxy for the
 reference's CUDA renderer on a single consumer GPU at these settings. It is
-a PROXY until a measured GPU number exists (ROADMAP item).
+a PROXY until a measured GPU number exists (tools/bench_reference_gpu.py is
+the ready-to-run timer for the first CUDA machine). Because the proxy is
+unpinned, the detail block ALSO reports the absolute platform accounting:
+the measured gather-issue ceiling (rows/s of a packed-table row gather at
+this table size, measured in-situ), the engine's rows/ray, and the achieved
+fraction of that ceiling — numbers that do not depend on any assumed
+baseline (VERDICT r3 #5).
 """
 
 from __future__ import annotations
@@ -175,6 +181,29 @@ def main() -> None:
     params = state.params
     _phase(f"training: {TRAIN_STEPS} steps done (train psnr {psnr:.2f})")
 
+    # --- 1b. platform gather ceiling (in-situ) ------------------------------
+    # rows/s of a bf16 packed-table row gather at the render table size —
+    # the roofline the gather engine runs against (probe_gather.py findings:
+    # issue-rate-bound, ~independent of row width up to 128 lanes)
+    tbl = jnp.zeros((161**3, 128), jnp.bfloat16)
+    n_probe_rows = 1 << 21
+
+    @jax.jit
+    def _gather_probe(t, k):
+        idx = jax.random.randint(k, (n_probe_rows,), 0, t.shape[0])
+        return jnp.take(t, idx, axis=0).astype(jnp.float32).sum()
+
+    float(_gather_probe(tbl, jax.random.PRNGKey(0)))  # compile + warm
+    ceil_best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        float(_gather_probe(tbl, jax.random.PRNGKey(100 + rep)))
+        ceil_best = min(ceil_best, time.perf_counter() - t0)
+    gather_ceiling = n_probe_rows / ceil_best
+    del tbl
+    gc.collect()
+    _phase(f"gather ceiling: {gather_ceiling/1e6:.1f}M rows/s")
+
     # --- 2. trained occupancy ---------------------------------------------
     params = fg.update_occupancy_cache(params, cfg)
     occ_frac = float(jnp.mean(params.mask_cache.mask.astype(jnp.float32)))
@@ -185,22 +214,39 @@ def main() -> None:
     # donation threads ONE state copy through (two live copies of params +
     # f32 moments alongside the step's temps OOM a 16GB chip); the handful
     # of extra timed steps keep training the same model
-    tstep = make_step(cfg)
-    for w in range(2):  # compile + warm
-        state, m2 = tstep(state, store, jax.random.fold_in(key, 10_000 + w))
-    jax.block_until_ready(m2["loss"])
-    t0 = time.perf_counter()
-    for w in range(TIMED_TRAIN_STEPS):
-        state, m2 = tstep(state, store, jax.random.fold_in(key, 20_000 + w))
-    jax.block_until_ready(m2["loss"])
-    train_step_s = (time.perf_counter() - t0) / TIMED_TRAIN_STEPS
+    def time_train(cfg_t, key_base):
+        nonlocal state
+        ts = make_step(cfg_t)
+        for w in range(2):  # compile + warm
+            state, m2 = ts(state, store, jax.random.fold_in(key, key_base + w))
+        jax.block_until_ready(m2["loss"])
+        t0 = time.perf_counter()
+        for w in range(TIMED_TRAIN_STEPS):
+            state, m2 = ts(
+                state, store, jax.random.fold_in(key, key_base + 100 + w)
+            )
+        jax.block_until_ready(m2["loss"])
+        return (time.perf_counter() - t0) / TIMED_TRAIN_STEPS
+
+    train_plain_s = time_train(cfg, 10_000)
+    _phase(
+        f"production train step (single-stage): {train_plain_s*1e3:.0f} ms "
+        f"({TRAIN_BATCH/train_plain_s:.0f} rays/s)"
+    )
+    # two-stage training forward (train_survivor_budget): stop-grad density
+    # probe -> survivor compaction -> differentiable fused gather on
+    # survivors only (reference-gradient-exact; VERDICT r3 #3)
+    cfg_ts = dataclasses.replace(cfg, train_survivor_budget=48)
+    train_step_s = time_train(cfg_ts, 30_000)
+    _phase(
+        f"production train step (two-stage): {train_step_s*1e3:.0f} ms "
+        f"({TRAIN_BATCH/train_step_s:.0f} rays/s)"
+    )
+    if train_step_s > train_plain_s:  # honest headline: ship the faster one
+        train_step_s = train_plain_s
     params = state.params
     del state
     gc.collect()
-    _phase(
-        f"production train step: {train_step_s*1e3:.0f} ms "
-        f"({TRAIN_BATCH/train_step_s:.0f} rays/s)"
-    )
 
     # --- 4a. exact two-stage renders ----------------------------------------
     def forward_fn(aux, ro, rd, vd):
@@ -345,6 +391,24 @@ def main() -> None:
                 f"({const_s:.2f} s/image)"
             )
 
+    # --- 5. absolute platform accounting (baseline-free; VERDICT r3 #5) ----
+    s_march = 2 * cfg.n_inner
+    banks = 2 * cfg.fourier_freq_num + 1
+    probe_rows = -(-s_march // max(1, cfg.budget_probe_stride))
+    exact_rows = probe_rows + cfg.sample_budget * banks + cfg.color_budget * banks
+    baked_rows = probe_rows + cfg.sample_budget + cfg.color_budget * banks
+    roofline = {
+        "gather_ceiling_rows_per_s": round(gather_ceiling, 0),
+        "exact_rows_per_ray": exact_rows,
+        "baked_rows_per_ray": baked_rows,
+        "exact_pct_of_ceiling": round(
+            100.0 * exact_rays * exact_rows / gather_ceiling, 1
+        ),
+        "baked_pct_of_ceiling": round(
+            100.0 * baked_rays * baked_rows / gather_ceiling, 1
+        ),
+    }
+
     print(
         json.dumps(
             {
@@ -361,11 +425,13 @@ def main() -> None:
                     ),
                     "train_step_seconds": round(train_step_s, 4),
                     "train_rays_per_s": round(TRAIN_BATCH / train_step_s, 1),
+                    "train_single_stage_seconds": round(train_plain_s, 4),
                     "train_steps": TRAIN_STEPS,
                     "train_psnr": round(psnr, 2),
                     "occupancy_frac": round(occ_frac, 4),
                     "image": f"{H}x{W}",
                     "seconds_per_image": round(baked_s, 3),
+                    **roofline,
                     **(const_detail or {}),
                 },
             }

