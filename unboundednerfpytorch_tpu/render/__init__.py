@@ -96,13 +96,37 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             print(f"baked render grids: {mcfg.world_size_density} single-bank")
         cache = fg.build_render_cache(params, mcfg)
     fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
+    image_fn = None
     if getattr(args, "constant_baked", False):
         # tables as compile-time CONSTANTS: XLA folds layouts/packing into
         # the executable (1.5-2.2x the argument-path gather rate, exact).
-        # First compile is long (minutes at 160^3); the persistent
-        # compilation cache (cli/main.py) makes later runs start instantly.
+        # FourierGrid two-stage caches go through the STAGED renderer
+        # (render/staged_const.py): per-bank table constants land in
+        # separate <=~0.9GB-constant executables, so every compile stays
+        # small (the round-3 single 5.97GB-constant program broke the relay
+        # compile transport). The persistent compilation cache makes the
+        # per-scene compile one-time either way.
         fwd = lambda ro, rd, vd: fwd_core(params, ro, rd, vd, None, cache=cache)
         aux = None
+        if (
+            family == "FourierGrid"
+            and cache is not None
+            and getattr(cache, "density_tables", None) is not None
+            and mcfg.sample_budget > 0
+            and mcfg.fast_color_thres > 0
+        ):
+            from unboundednerfpytorch_tpu.render import staged_const
+
+            staged = {}
+
+            def image_fn(H, W, K, c2w, _s=staged):
+                if (H, W) not in _s:
+                    _s[(H, W)] = staged_const.make_staged_renderer(
+                        params, mcfg, cache, H, W,
+                        inverse_y=cfg.data.inverse_y,
+                        flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+                    )
+                return _s[(H, W)](K, c2w, bg=render_kwargs["bg"])
     else:
         # params + packed tables ride as jit arguments (renderer aux) — no
         # bake-in, compiles in seconds against abstract shapes
@@ -179,6 +203,7 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
             ) or ("alex",),
             aux=aux,
             mesh=mesh,
+            image_fn=image_fn,
             render_factor=(getattr(args, "render_video_factor", 0)
                            if name == "video" else 0),
             render_video_flipy=(getattr(args, "render_video_flipy", False)

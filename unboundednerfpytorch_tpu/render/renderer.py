@@ -219,6 +219,7 @@ def render_viewpoints(
     render_factor: float = 0,
     render_video_flipy: bool = False,
     render_video_rot90: int = 0,
+    image_fn=None,
 ):
     """Render a split of poses and (optionally) evaluate vs ground truth.
 
@@ -242,11 +243,16 @@ def render_viewpoints(
     for i, c2w in enumerate(np.asarray(poses)):
         H, W = (int(v) for v in np.asarray(HW)[i])
         K = np.asarray(Ks)[i]
-        rgb, depth, bgw = render_image(
-            forward_fn, H, W, K, c2w[:3, :4],
-            ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
-            chunk=chunk, aux=aux, mesh=mesh,
-        )
+        if image_fn is not None:
+            # whole-image override (e.g. the staged constant-baked
+            # renderer, render/staged_const.py): takes (H, W, K, c2w)
+            rgb, depth, bgw = image_fn(H, W, K, c2w[:3, :4])
+        else:
+            rgb, depth, bgw = render_image(
+                forward_fn, H, W, K, c2w[:3, :4],
+                ndc=ndc, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
+                chunk=chunk, aux=aux, mesh=mesh,
+            )
         rgbs.append(rgb)
         depths.append(depth)
         bgmaps.append(bgw)
