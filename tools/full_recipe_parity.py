@@ -147,6 +147,11 @@ def build_cfg(smoke: bool = False, grid_dtype: str = "float32"):
             sample_budget=96,
             budget_probe_stride=2,
             color_budget=32,
+            # two-stage TRAINING forward: active once the thres schedule
+            # reaches 1e-4 — the torch mirror stays pure reference
+            # semantics, so the gate covers the exact-gradient claim over
+            # the full converged run
+            train_survivor_budget=48,
         ),
     )
 
@@ -345,6 +350,7 @@ def run_torch_mirror(out: str, smoke: bool, log=print) -> dict:
     # the mirror is the REFERENCE recipe: full march, no TPU budget
     mcfg = dataclasses.replace(
         mcfg, sample_budget=0, color_budget=0, budget_probe_stride=1,
+        train_survivor_budget=0,
     )
 
     t_d = torch.tensor(np.asarray(params0.density.grid, np.float32)).requires_grad_()
