@@ -670,6 +670,20 @@ def scene_rep_reconstruction(
             deferred_budget = mcfg.sample_budget
             mcfg = dataclasses.replace(mcfg, sample_budget=0)
 
+    # two-stage TRAINING forward: defer until the LAST pg boundary — before
+    # the final resolution the density has not polarized, so the thres
+    # schedule keeps more than the survivor budget alive per ray and the
+    # compaction would truncate real content (measured on the full-recipe
+    # smoke: -1.1 dB trajectory drift when enabled early). After the last
+    # boundary the grids are final-resolution, density sharpens under the
+    # 1e-4 threshold, and the budget holds (metrics expose overflow_frac).
+    deferred_ts_budget = 0
+    if getattr(mcfg, "train_survivor_budget", 0) > 0:
+        last_pg = max(cfg_train.pg_scale) if cfg_train.pg_scale else 0
+        if start_step < last_pg:
+            deferred_ts_budget = mcfg.train_survivor_budget
+            mcfg = dataclasses.replace(mcfg, train_survivor_budget=0)
+
     for global_step in range(1 + start_step, n_iters + 1):
         if global_step in thres_schedule and hasattr(mcfg, "fast_color_thres"):
             new_thres = float(thres_schedule[global_step])
@@ -690,6 +704,12 @@ def scene_rep_reconstruction(
                 # fixed-budget compaction is now safe; enable it
                 mcfg = dataclasses.replace(mcfg, sample_budget=deferred_budget)
                 deferred_budget = 0
+            if deferred_ts_budget and global_step == max(pg_scale):
+                # final resolution reached -> two-stage training is safe
+                mcfg = dataclasses.replace(
+                    mcfg, train_survivor_budget=deferred_ts_budget
+                )
+                deferred_ts_budget = 0
             # optimizer rebuilt from scratch at the boundary (run_train.py:199)
             # — which also resets the lr decay to the base lr (the factory
             # is called with global_step=0): re-anchor the decay here
@@ -736,10 +756,15 @@ def scene_rep_reconstruction(
             # persist the TRUE sample_budget, not the deferral-zeroed one:
             # a resume from this checkpoint must re-enter the deferral logic
             # with the configured budget or it stays off forever
-            _save_mcfg = (
-                dataclasses.replace(mcfg, sample_budget=deferred_budget)
-                if deferred_budget else mcfg
-            )
+            _save_mcfg = mcfg
+            if deferred_budget:
+                _save_mcfg = dataclasses.replace(
+                    _save_mcfg, sample_budget=deferred_budget
+                )
+            if deferred_ts_budget:
+                _save_mcfg = dataclasses.replace(
+                    _save_mcfg, train_survivor_budget=deferred_ts_budget
+                )
             _ckpt.save_model(
                 _os.path.join(exp_dir, f"{stage}_last"), family, _save_mcfg,
                 state.params, global_step=global_step,
@@ -754,10 +779,15 @@ def scene_rep_reconstruction(
         from unboundednerfpytorch_tpu.utils import checkpoint as ckpt_mod
 
         # see the periodic-save note: never persist a deferral-zeroed budget
-        save_mcfg = (
-            dataclasses.replace(mcfg, sample_budget=deferred_budget)
-            if deferred_budget else mcfg
-        )
+        save_mcfg = mcfg
+        if deferred_budget:
+            save_mcfg = dataclasses.replace(
+                save_mcfg, sample_budget=deferred_budget
+            )
+        if deferred_ts_budget:
+            save_mcfg = dataclasses.replace(
+                save_mcfg, train_survivor_budget=deferred_ts_budget
+            )
         ckpt_mod.save_model(
             os.path.join(exp_dir, f"{stage}_last"), family, save_mcfg,
             state.params, global_step=n_iters, opt_state=state.opt_state,

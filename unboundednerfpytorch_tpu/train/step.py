@@ -137,7 +137,14 @@ def make_train_step(
                 res.raw_rgb, target, res.weights, n_rays, mask=res.mask
             )
         psnr = L.mse2psnr(jax.lax.stop_gradient(mse_loss))
-        return loss, {"loss": loss, "mse": mse_loss, "psnr": psnr}
+        metrics = {"loss": loss, "mse": mse_loss, "psnr": psnr}
+        if res.color_overflow_frac is not None:
+            # two-stage training truncation observability (fraction of rays
+            # with more thres-surviving samples than the survivor budget)
+            metrics["overflow_frac"] = jax.lax.stop_gradient(
+                res.color_overflow_frac
+            )
+        return loss, metrics
 
     def add_tv_grads(grads: dict, trainable: dict, step, n_rays):
         """TV gradient injection between backward and the optimizer step
