@@ -111,3 +111,55 @@ def test_compose_idw():
     blocks = {"block_0": {"elements": [["img_a", 0]]}, "block_1": {"elements": [["img_b", 1]]}}
     assert compose.filter_blocks("img_a", blocks) == ["block_0"]
     assert compose.distance_weight([0, 0, 0], [0, 2, 0], p=4) == pytest.approx(2.0**-4)
+
+
+def test_dataset_splits_val_test_compose(tmp_path):
+    """The reference dataset's val/test/compose splits + nearest-appearance
+    lookup (waymo_dataset.py:46-60,177-194,198-276), numpy-first."""
+    import json
+
+    import imageio.v2 as imageio
+
+    from unboundednerfpytorch_tpu.models.block_nerf import dataset as D
+
+    H = W = 8
+    meta = {}
+    for i, name in enumerate(["a", "b"]):
+        c2w = np.eye(4)[:3]
+        c2w[1, 3] = 0.05 * i
+        meta[name] = {
+            "c2w": c2w.tolist(), "intrinsics": [8.0, 8.0], "W": W, "H": H,
+            "equivalent_exposure": 1.0, "image_name": name,
+            "cam_idx": 0, "origin_pos": [0.0, 0.05 * i, 0.0],
+        }
+    val_dir = tmp_path / "val"
+    (val_dir / "rgbs").mkdir(parents=True)
+    with open(val_dir / "split_block_val.json", "w") as f:
+        json.dump({"block_0": {"elements": [["a", 0], ["b", 1]]}}, f)
+    with open(val_dir / "val_all_meta.json", "w") as f:
+        json.dump(meta, f)
+    for name in meta:
+        imageio.imwrite(val_dir / "rgbs" / f"{name}.png",
+                        np.zeros((H, W, 3), np.uint8))
+
+    views = D.load_val_rays(str(tmp_path), "block_0", img_downscale=1)
+    assert len(views) == 2
+    rays, rgbs, ts, hw, name = views[0]
+    assert rays.shape == (H * W, 10) and rgbs.shape == (H * W, 3)
+    assert hw == (H, W) and name == "a"
+
+    frames = D.gen_test_rays(meta["a"], 0, n_frames=4, img_downscale=1)
+    assert len(frames) == 4
+    # y slides by dy_max across the trajectory
+    assert abs(frames[-1][0][0, 1] - frames[0][0][0, 1]) > 0.0
+
+    comp = D.gen_compose_rays(meta, "b", "a", 1, frame_step=0.01,
+                              img_downscale=1)
+    assert len(comp) == 5  # 0.05 y-distance / 0.01
+    # appearance id threads through
+    assert int(comp[0][1][0]) == 1
+
+    # nearest appearance: same cam, closest origin
+    q = {"cam_idx": 0, "origin_pos": [0.0, 0.04, 0.0]}
+    assert D.find_nearest_appearance_idx(
+        q, [["a", 0], ["b", 1]], meta) == 1

@@ -137,3 +137,122 @@ def load_block_ray_store(
         },
         len(elements),
     )
+
+
+def find_nearest_appearance_idx(img_source: dict, block_elements, meta: dict):
+    """Nearest trained appearance id for a view NOT in the block's training
+    set (waymo_dataset.py:46-60): among the block's elements taken by the
+    SAME camera, the one whose origin is closest to the query view's."""
+    cam_idx = img_source.get("cam_idx")
+    best_d, best_idx = float("inf"), None
+    for name, app_id in block_elements:
+        info = meta[name]
+        if info.get("cam_idx") != cam_idx:
+            continue
+        d = float(np.linalg.norm(
+            np.asarray(img_source["origin_pos"], np.float64)
+            - np.asarray(info["origin_pos"], np.float64)
+        ))
+        if d < best_d:
+            best_d, best_idx = d, app_id
+    return best_idx
+
+
+def load_val_rays(
+    root_dir: str,
+    block: str = "block_0",
+    img_downscale: int = 4,
+    near: float = 0.01,
+    far: float = 15.0,
+    max_views: int = 5,
+):
+    """The reference's ``val`` split (waymo_dataset.py:198-276): whole-image
+    ray batches + GT for the first <= ``max_views`` images of the block,
+    read from ``val/rgbs``. Yields (rays, rgbs, ts, (H, W), image_name)."""
+    import json as _json
+
+    import imageio.v2 as imageio
+
+    with open(os.path.join(root_dir, "val", "split_block_val.json")) as fp:
+        block_split = _json.load(fp)
+    with open(os.path.join(root_dir, "val", "val_all_meta.json")) as fp:
+        meta = _json.load(fp)
+    out = []
+    for img_name, app_id in block_split[block]["elements"][:max_views]:
+        info = meta[img_name]
+        path = os.path.join(
+            root_dir, "val", "rgbs", info["image_name"] + ".png"
+        )
+        rgb = np.asarray(imageio.imread(path))[..., :3] / 255.0
+        rays, rgbs, ts, hw = build_image_rays(
+            info, rgb, app_id, img_downscale, near, far
+        )
+        out.append((rays, rgbs, ts, hw, img_name))
+    return out
+
+
+def gen_test_rays(
+    img_info: dict,
+    appearance_id: int,
+    n_frames: int = 10,
+    dy_max: float = 0.2,
+    img_downscale: int = 4,
+    near: float = 0.01,
+    far: float = 15.0,
+):
+    """The reference's ``test`` split (waymo_dataset.py:177-180, 276+): a
+    short novel trajectory sliding the camera y by linspace(0, dy_max) from
+    a source view. Yields (rays, ts, (H, W)) per frame."""
+    out = []
+    for dy in np.linspace(0.0, dy_max, n_frames):
+        info = dict(img_info)
+        c2w = np.asarray(img_info["c2w"], np.float32).copy()
+        c2w[1, 3] += dy
+        info["c2w"] = c2w
+        rays, _, ts, hw = build_image_rays(
+            info, None, appearance_id, img_downscale, near, far
+        )
+        out.append((rays, ts, hw))
+    return out
+
+
+def gen_compose_rays(
+    meta: dict,
+    cam_begin: str,
+    cam_end: str,
+    appearance_id: int,
+    frame_step: float = 0.01,
+    img_downscale: int = 4,
+    near: float = 0.01,
+    far: float = 15.0,
+    max_frames: int = 1000,
+):
+    """The reference's ``compose`` split (waymo_dataset.py:181-194): frames
+    interpolated between two cameras, one per ``frame_step`` units of
+    y-distance (the block-compositing demo-video trajectory). Yields
+    (rays, ts, (H, W)) per frame."""
+    a = meta[cam_begin]
+    b = meta[cam_end]
+    delta = np.asarray(a["origin_pos"], np.float64) - np.asarray(
+        b["origin_pos"], np.float64
+    )
+    n_frames = 1 if abs(delta[1]) < frame_step else int(
+        abs(delta[1]) // frame_step
+    )
+    n_frames = min(n_frames, max_frames)
+    c2w_a = np.asarray(a["c2w"], np.float64)
+    c2w_b = np.asarray(b["c2w"], np.float64)
+    out = []
+    for k in range(n_frames):
+        s = k / max(n_frames - 1, 1)
+        info = dict(a)
+        c2w = c2w_a.copy()
+        # translate along the begin->end segment (rotation held at the
+        # begin view's, like the reference's y-slide)
+        c2w[:3, 3] = (1 - s) * c2w_a[:3, 3] + s * c2w_b[:3, 3]
+        info["c2w"] = c2w.astype(np.float32)
+        rays, _, ts, hw = build_image_rays(
+            info, None, appearance_id, img_downscale, near, far
+        )
+        out.append((rays, ts, hw))
+    return out
