@@ -220,6 +220,10 @@ def eval_production(family, mcfg, params, data, cfg) -> float:
     from unboundednerfpytorch_tpu.render import renderer
     from unboundednerfpytorch_tpu.train import loop
 
+    # held-out eval through the plain exact forward (the two-stage TRAINING
+    # compaction is a training-throughput device; rendering never uses it)
+    if getattr(mcfg, "train_survivor_budget", 0):
+        mcfg = dataclasses.replace(mcfg, train_survivor_budget=0)
     render_kwargs = {
         "near": float(data["near"]),
         "far": float(data["far"]),
