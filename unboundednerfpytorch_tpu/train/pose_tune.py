@@ -245,6 +245,9 @@ def run_tune_pose(args, cfg, data_dict, exp_dir: str) -> str:
         aux=params,
         steps=getattr(args, "tune_steps", 400),
         lr=getattr(args, "tune_lr", 1e-3),
+        # anneal to ~1e-3 of the base lr: registration-grade convergence
+        # (a flat lr orbits the optimum; tests/test_pose_tune.py)
+        lr_final=getattr(args, "tune_lr", 1e-3) * 1e-3,
         n_rand=min(cfg.fine_train.N_rand, 4096),
         inverse_y=cfg.data.inverse_y,
         flip_x=cfg.data.flip_x,
