@@ -65,7 +65,7 @@ def _const_variants(mode: str) -> list:
     """Validate BENCH_CONST_BAKED early — an invalid value must fail BEFORE
     the expensive train/render phases, not KeyError after them."""
     table = {"1": ["baked"], "baked": ["baked"], "exact": ["exact"],
-             "both": ["baked", "exact"]}
+             "both": ["baked", "exact"], "staged": ["staged"]}
     if mode not in table:
         raise SystemExit(
             f"BENCH_CONST_BAKED must be one of {sorted(table)}; got {mode!r}"
@@ -346,6 +346,46 @@ def main() -> None:
         variants = _const_variants(const_mode)
         cache_x = None
         for variant in variants:
+            if variant == "staged":
+                # the sharded constant-baked EXACT renderer
+                # (render/staged_const.py): per-bank constants in separate
+                # small executables — the relay-survivable form of the
+                # round-2 constant mode
+                from unboundednerfpytorch_tpu.render import staged_const
+
+                del aux_b, cache_b
+                gc.collect()
+                cache_b = None
+                cache_x = fg.build_render_cache(params, cfg)
+                jax.block_until_ready(cache_x)
+                t0 = time.perf_counter()
+                staged = staged_const.make_staged_renderer(
+                    params, cfg, cache_x, H, W
+                )
+                img_c = staged(K800, pose_w[:3, :4])[0]
+                compile_s = time.perf_counter() - t0
+                mse_c = float(np.mean((img_exact - img_c) ** 2))
+                psnr_c = -10.0 * np.log10(max(mse_c, 1e-12))
+                _phase(
+                    f"staged-const warm render in {compile_s:.0f}s; "
+                    f"PSNR vs exact = {psnr_c:.1f} dB"
+                )
+                run_staged = lambda h, w, k, p, a: staged(k, p)
+                const_s = timed_renders(run_staged, None, 1.51)
+                const_rays = H * W / const_s
+                const_detail.update({
+                    "staged_const_rays_per_s": round(const_rays, 1),
+                    "staged_const_vs_baseline": round(
+                        const_rays / REFERENCE_RAYS_PER_S, 3
+                    ),
+                    "staged_const_psnr_vs_exact_db": round(psnr_c, 2),
+                    "staged_const_compile_s": round(compile_s, 1),
+                })
+                _phase(
+                    f"staged-const: {const_rays:.0f} rays/s "
+                    f"({const_s:.2f} s/image)"
+                )
+                continue
             if variant == "exact":
                 # the baked tables must go first — two caches + the
                 # compile-time-constant copies do not fit a 16GB chip
