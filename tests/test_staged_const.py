@@ -61,3 +61,20 @@ def test_staged_const_matches_two_stage_cache():
     np.testing.assert_allclose(rgb_s, rgb_ref, atol=2e-5)
     np.testing.assert_allclose(depth_s, depth_ref, atol=2e-5)
     np.testing.assert_allclose(bg_s, bg_ref, atol=2e-5)
+
+    # row-range constant splitting (the relay compile transport rejects
+    # >~0.5GB request bodies; big tables ship as several sub-programs):
+    # force tiny caps so every bank splits into many ranges — must still be
+    # exact (out-of-range samples contribute masked zeros)
+    render_split = staged_const.make_staged_renderer(
+        params, cfg, cache, H, W, block=800,
+        const_max_bytes=max(
+            cache.k0_tables[0].shape[1] * cache.k0_tables[0].dtype.itemsize,
+            cache.density_tables[0].shape[1]
+            * cache.density_tables[0].dtype.itemsize,
+        ) * (cache.k0_tables[0].shape[0] // 3),
+    )
+    rgb_p, depth_p, bg_p = render_split(K, pose, bg=1.0)
+    np.testing.assert_allclose(rgb_p, rgb_ref, atol=2e-5)
+    np.testing.assert_allclose(depth_p, depth_ref, atol=2e-5)
+    np.testing.assert_allclose(bg_p, bg_ref, atol=2e-5)

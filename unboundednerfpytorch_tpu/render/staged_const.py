@@ -69,6 +69,7 @@ def make_staged_renderer(
     inverse_y: bool = False,
     flip_x: bool = False,
     flip_y: bool = False,
+    const_max_bytes: int = 384 << 20,
 ):
     """Build the staged constant-baked renderer for one model + image size.
 
@@ -77,6 +78,14 @@ def make_staged_renderer(
     and stays color-exact). Returns ``render(K, c2w) -> (rgb, depth, bgmap)``
     numpy arrays; every stage executable is compiled (and persistently
     cached) on the first call.
+
+    ``const_max_bytes``: tables larger than this are split into row-range
+    sub-programs, each holding one contiguous slice as its constant and
+    masking out-of-range samples (measured: the relay's compile transport
+    rejects request bodies much past ~0.5GB with HTTP 413 — a ~800MB
+    per-bank k0 constant cannot ship in one executable). Every split
+    re-gathers all samples (rows scale with the split count), so the cap
+    should sit as close to the transport limit as is safe.
     """
     assert cache is not None and cache.density_tables is not None, (
         "staged constant rendering needs the two-stage cache layout "
@@ -118,9 +127,23 @@ def make_staged_renderer(
 
     stage_a = jax.jit(_blocked(_stage_a_block, n_blocks, block))
 
+    def _row_splits(n_rows: int, bytes_per_row: int, align: int = 1):
+        """Contiguous [r0, r1) ranges with r1-r0 aligned slices each under
+        const_max_bytes."""
+        max_rows = max(align, const_max_bytes // max(bytes_per_row, 1))
+        max_rows -= max_rows % align
+        max_rows = max(align, max_rows)
+        out = []
+        r0 = 0
+        while r0 < n_rows:
+            out.append((r0, min(n_rows, r0 + max_rows)))
+            r0 += max_rows
+        return out
+
     # --- stage B[b]: density accumulation (folded table constants) ----------
-    def _make_stage_b(b: int):
-        table = cache.density_tables[b]  # closed over -> constant
+    def _make_stage_b(b: int, fr0: int, fr1: int):
+        table = cache.density_tables[b][fr0:fr1]  # slice -> constant
+        fold = cache.density_fold
 
         def one(acc_blk, pts_blk):
             c01 = fg._bank_coords01(cfg, pts_blk, num_freqs=d_freqs)
@@ -129,16 +152,25 @@ def make_staged_renderer(
                 c01[..., 0, :]
             )
             base, w = packed_ops.corner_base_and_weights(c01b, d_dims)
-            v = packed_ops.packed_trilerp_folded(
-                table, base, w, 1, cache.density_fold
-            )
-            return acc_blk + v[..., 0]
+            fr = base // fold
+            local = jnp.clip(base - fr0 * fold, 0, (fr1 - fr0) * fold - 1)
+            v = packed_ops.packed_trilerp_folded(table, local, w, 1, fold)
+            in_r = ((fr >= fr0) & (fr < fr1)).astype(v.dtype)
+            return acc_blk + v[..., 0] * in_r
 
         return jax.jit(
             _blocked(one, n_blocks, block), donate_argnums=(0,)
         )
 
-    stage_b = [_make_stage_b(b) for b in range(len(cache.density_tables))]
+    stage_b = [
+        _make_stage_b(b, fr0, fr1)
+        for b in range(len(cache.density_tables))
+        for fr0, fr1 in _row_splits(
+            cache.density_tables[b].shape[0],
+            cache.density_tables[b].shape[1]
+            * cache.density_tables[b].dtype.itemsize,
+        )
+    ]
 
     # --- stage C: alpha/scan/threshold/color compaction ---------------------
     def _stage_c_block(density, t_sel, selm, pts_sel):
@@ -161,20 +193,29 @@ def make_staged_renderer(
     stage_c = jax.jit(_blocked(_stage_c_block, n_blocks, block))
 
     # --- stage D[b]: k0 accumulation (packed table constants) ---------------
-    def _make_stage_d(b: int):
-        table = cache.k0_tables[b]
+    def _make_stage_d(b: int, r0: int, r1: int):
+        table = cache.k0_tables[b][r0:r1]  # slice -> constant
 
         def one(acc_blk, pts_blk):
             c01 = fg._bank_coords01(cfg, pts_blk)
             base, w = packed_ops.corner_base_and_weights(c01[..., b, :], dims)
-            v = packed_ops.packed_trilerp(table, base, w, cfg.k0_dim)
-            return acc_blk + v
+            local = jnp.clip(base - r0, 0, r1 - r0 - 1)
+            v = packed_ops.packed_trilerp(table, local, w, cfg.k0_dim)
+            in_r = ((base >= r0) & (base < r1)).astype(v.dtype)
+            return acc_blk + v * in_r[..., None]
 
         return jax.jit(
             _blocked(one, n_blocks, block), donate_argnums=(0,)
         )
 
-    stage_d = [_make_stage_d(b) for b in range(B)]
+    stage_d = [
+        _make_stage_d(b, r0, r1)
+        for b in range(B)
+        for r0, r1 in _row_splits(
+            cache.k0_tables[b].shape[0],
+            cache.k0_tables[b].shape[1] * cache.k0_tables[b].dtype.itemsize,
+        )
+    ]
 
     # --- stage E: rgb head + composite (tiny MLP constants) -----------------
     head_params = params  # rgbnet/vd/img_embeddings are small constants
@@ -219,7 +260,11 @@ def make_staged_renderer(
         for fn in stage_b:
             density = fn(density.reshape(n_total, SB),
                          pts_sel.reshape(n_total, SB, 3))
-        density = density.reshape(n_blocks, block, SB) / len(stage_b)
+        # mean over BANKS (stage_b may hold several row-range splits per
+        # bank; out-of-range splits contribute exact zeros)
+        density = density.reshape(n_blocks, block, SB) / len(
+            cache.density_tables
+        )
         pts_c, w_c, alphainv_last, depth = stage_c(
             density.reshape(n_total, SB),
             t_sel.reshape(n_total, SB),
