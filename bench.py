@@ -359,10 +359,17 @@ def main() -> None:
                 cache_x = fg.build_render_cache(params, cfg)
                 jax.block_until_ready(cache_x)
                 t0 = time.perf_counter()
-                staged = staged_const.make_staged_renderer(
-                    params, cfg, cache_x, H, W
-                )
-                img_c = staged(K800, pose_w[:3, :4])[0]
+                try:
+                    staged = staged_const.make_staged_renderer(
+                        params, cfg, cache_x, H, W
+                    )
+                    img_c = staged(K800, pose_w[:3, :4])[0]
+                except Exception as e:  # noqa: BLE001 — opt-in variant must
+                    # not kill the headline JSON (e.g. HTTP 413 through a
+                    # capped relay transport; see staged_const docstring)
+                    const_detail["staged_const_error"] = str(e)[:200]
+                    _phase(f"staged-const FAILED: {str(e)[:120]}")
+                    continue
                 compile_s = time.perf_counter() - t0
                 mse_c = float(np.mean((img_exact - img_c) ** 2))
                 psnr_c = -10.0 * np.log10(max(mse_c, 1e-12))

@@ -69,7 +69,7 @@ def make_staged_renderer(
     inverse_y: bool = False,
     flip_x: bool = False,
     flip_y: bool = False,
-    const_max_bytes: int = 384 << 20,
+    const_max_bytes: int = 8 << 30,
 ):
     """Build the staged constant-baked renderer for one model + image size.
 
@@ -81,11 +81,13 @@ def make_staged_renderer(
 
     ``const_max_bytes``: tables larger than this are split into row-range
     sub-programs, each holding one contiguous slice as its constant and
-    masking out-of-range samples (measured: the relay's compile transport
-    rejects request bodies much past ~0.5GB with HTTP 413 — a ~800MB
-    per-bank k0 constant cannot ship in one executable). Every split
-    re-gathers all samples (rows scale with the split count), so the cap
-    should sit as close to the transport limit as is safe.
+    masking out-of-range samples. Measured relay transport cap
+    (tools/probe_const_limit.py, 2026-08-20): 192MB constants compile, 320MB
+    get HTTP 413 — so ~800MB per-bank k0 constants cannot ship whole.
+    Every split re-gathers all samples (gather rows scale with the split
+    count), so through a capped relay the splits erase the constant-gather
+    rate advantage; on directly-attached TPUs leave ``const_max_bytes`` at
+    its effectively-unsplit default to keep the round-2 72–96K rays/s form.
     """
     assert cache is not None and cache.density_tables is not None, (
         "staged constant rendering needs the two-stage cache layout "
