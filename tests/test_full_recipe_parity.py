@@ -47,5 +47,11 @@ def test_full_recipe_parity(tmp_path):
     # the two implementations track (the 30k run gates at 0.1 dB)
     result = mod.compare(out, tol_db=0.1 if full else 1.0)
     assert result["passed"]
-    if result["curve_tail_mean_delta_db"] is not None:
-        assert result["curve_tail_mean_delta_db"] < (0.3 if full else 1.0)
+    # The curve-tail overlay is a SMOKE-scale gate only: over a 30k-step
+    # run the two implementations' per-batch PSNR curves decohere
+    # chaotically (f32 reduction-order differences amplify; measured
+    # round 4: sign-BALANCED oscillation of ±1-7 dB from ~step 6000 while
+    # converged held-out quality stays equal) — the full-run gate is the
+    # held-out delta above, not the batch-psnr overlay.
+    if not full and result["curve_tail_mean_delta_db"] is not None:
+        assert result["curve_tail_mean_delta_db"] < 1.0

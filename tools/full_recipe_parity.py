@@ -608,12 +608,30 @@ def run_torch_mirror(out: str, smoke: bool, log=print) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def compare(out: str, tol_db: float = 0.1, log=print) -> dict:
+def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
     with open(os.path.join(out, "production_f32.json")) as f:
         prod = json.load(f)
-    with open(os.path.join(out, "torch.json")) as f:
-        tor = json.load(f)
-    delta = abs(prod["test_psnr"] - tor["test_psnr"])
+    torch_json = os.path.join(out, "torch.json")
+    if not os.path.exists(torch_json) and torch_log:
+        # PARTIAL compare: the torch mirror is still running (or was cut
+        # off) — rebuild its curve from the phase log and gate only the
+        # curve overlay through the last shared step. No held-out delta.
+        import re
+
+        curve = []
+        with open(torch_log) as f:
+            for line in f:
+                m = re.search(r"step\s+(\d+) psnr ([0-9.]+)", line)
+                if m:
+                    curve.append([int(m.group(1)), float(m.group(2))])
+        tor = {"test_psnr": None, "curve": curve, "partial": True}
+    else:
+        with open(torch_json) as f:
+            tor = json.load(f)
+    partial = bool(tor.get("partial"))
+    delta = (
+        abs(prod["test_psnr"] - tor["test_psnr"]) if not partial else None
+    )
 
     # curve overlay: per-step |Δ| at shared checkpoints in the converged
     # tail (last 25% of steps)
@@ -626,13 +644,16 @@ def compare(out: str, tol_db: float = 0.1, log=print) -> dict:
     result = {
         "production_test_psnr": prod["test_psnr"],
         "torch_test_psnr": tor["test_psnr"],
-        "delta_db": round(delta, 4),
+        "delta_db": round(delta, 4) if delta is not None else None,
         "tol_db": tol_db,
         "curve_tail_mean_delta_db": (
             round(tail_delta, 4) if tail_delta is not None else None
         ),
-        "passed": delta <= tol_db,
+        "passed": (delta <= tol_db) if delta is not None else None,
     }
+    if partial:
+        result["partial"] = True
+        result["torch_last_step"] = shared[-1] if shared else 0
     if "test_psnr_baked" in prod:
         # the shipped density-baked render mode's measured scene-PSNR cost
         # on this full-recipe-trained scene (VERDICT r3 weak #6)
@@ -648,10 +669,12 @@ def compare(out: str, tol_db: float = 0.1, log=print) -> dict:
     with open(os.path.join(out, "compare.json"), "w") as f:
         json.dump(result, f, indent=1)
     log(json.dumps(result))
-    assert delta <= tol_db, (
-        f"full-recipe convergence parity FAILED: |{prod['test_psnr']:.3f} - "
-        f"{tor['test_psnr']:.3f}| = {delta:.3f} dB > {tol_db} dB"
-    )
+    if not partial:
+        assert delta <= tol_db, (
+            f"full-recipe convergence parity FAILED: "
+            f"|{prod['test_psnr']:.3f} - {tor['test_psnr']:.3f}| = "
+            f"{delta:.3f} dB > {tol_db} dB"
+        )
     return result
 
 
@@ -663,6 +686,10 @@ def main(argv=None) -> int:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--arm", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--tol_db", type=float, default=0.1)
+    ap.add_argument("--torch_log", default=None,
+                    help="compare fallback: rebuild the torch curve from "
+                         "this phase log when torch.json is absent "
+                         "(partial, curve-only gate)")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     if args.phase in ("production", "all"):
@@ -670,7 +697,7 @@ def main(argv=None) -> int:
     if args.phase in ("torch", "all"):
         run_torch_mirror(args.out, args.smoke)
     if args.phase in ("compare", "all"):
-        compare(args.out, args.tol_db)
+        compare(args.out, args.tol_db, torch_log=args.torch_log)
     return 0
 
 

@@ -738,13 +738,19 @@ def scene_rep_reconstruction(
                 import json as _json
                 import os as _os
 
+                rec = {
+                    "step": global_step,
+                    "loss": float(m["loss"]),
+                    "psnr": last_psnr,
+                    "elapsed_s": round(eps, 2),
+                }
+                if "overflow_frac" in m:
+                    # two-stage training truncation observability — the
+                    # survivor-budget claim is only auditable if this
+                    # lands in the metrics log
+                    rec["overflow_frac"] = float(m["overflow_frac"])
                 with open(_os.path.join(exp_dir, f"{stage}_metrics.jsonl"), "a") as f:
-                    f.write(_json.dumps({
-                        "step": global_step,
-                        "loss": float(m["loss"]),
-                        "psnr": last_psnr,
-                        "elapsed_s": round(eps, 2),
-                    }) + "\n")
+                    f.write(_json.dumps(rec) + "\n")
         # periodic checkpoint (the reference's --i_weights cadence);
         # multi-host: only process 0 writes (params are fully replicated)
         if (save_every and exp_dir is not None and jax.process_index() == 0
