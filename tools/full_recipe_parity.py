@@ -59,7 +59,8 @@ SEED = 777  # the loop default; the torch mirror replays its streams
 # ---------------------------------------------------------------------------
 
 
-def build_cfg(smoke: bool = False, grid_dtype: str = "float32"):
+def build_cfg(smoke: bool = False, grid_dtype: str = "float32",
+              pure: bool = False):
     """The garden recipe (garden_single.py) at reduced resolution: 48^3
     final grids (vs 200^3), N_rand 512 (vs 2048), 30k steps (vs 100k) —
     every schedule element kept, incl. the shipped TPU fast-path knobs."""
@@ -142,16 +143,21 @@ def build_cfg(smoke: bool = False, grid_dtype: str = "float32"):
             bg_len=0.2,
             contracted_norm="inf",
             t_boundary=2.0,
-            # shipped TPU fast-path knobs (nerf_unbounded_default.py)
+            # shipped TPU fast-path knobs (nerf_unbounded_default.py).
+            # --arm pure disables ALL of them (full march, no budgets):
+            # the round-4 0.243 dB held-out gap's diagnosis arm — whatever
+            # delta remains vs torch under `pure` is trajectory
+            # decoherence, and the difference between arms is the true
+            # fast-path cost.
             grid_dtype=grid_dtype,
-            sample_budget=96,
-            budget_probe_stride=2,
-            color_budget=32,
+            sample_budget=0 if pure else 96,
+            budget_probe_stride=1 if pure else 2,
+            color_budget=0 if pure else 32,
             # two-stage TRAINING forward: active once the thres schedule
             # reaches 1e-4 — the torch mirror stays pure reference
             # semantics, so the gate covers the exact-gradient claim over
             # the full converged run
-            train_survivor_budget=48,
+            train_survivor_budget=0 if pure else 48,
         ),
     )
 
@@ -175,7 +181,8 @@ def run_production(out: str, smoke: bool, arm: str = "f32", log=print) -> dict:
 
     from unboundednerfpytorch_tpu.train import loop
 
-    cfg = build_cfg(smoke, "bfloat16" if arm == "bf16" else "float32")
+    cfg = build_cfg(smoke, "bfloat16" if arm == "bf16" else "float32",
+                    pure=(arm == "pure"))
     data = make_scene(smoke)
     exp_dir = os.path.join(out, f"production_{arm}")
     os.makedirs(exp_dir, exist_ok=True)
@@ -201,10 +208,14 @@ def run_production(out: str, smoke: bool, arm: str = "f32", log=print) -> dict:
     test_psnr, exact_imgs = eval_production(family, mcfg, params, data, cfg)
     # the shipped density-baked render mode on the SAME trained scene: its
     # scene-PSNR cost on a non-trivial cluttered scene (VERDICT r3 weak #6 —
-    # previously only measured against bench.py's own scene)
-    baked_psnr, baked_delta = eval_production_baked(
-        family, mcfg, params, data, cfg, exact_imgs
-    )
+    # previously only measured against bench.py's own scene). The `pure`
+    # diagnosis arm has no two-stage cache (color_budget=0) — skip.
+    if arm == "pure":
+        baked_psnr, baked_delta = float("nan"), float("nan")
+    else:
+        baked_psnr, baked_delta = eval_production_baked(
+            family, mcfg, params, data, cfg, exact_imgs
+        )
     result = {
         "arm": arm,
         "train_psnr": float(train_psnr),
@@ -666,6 +677,19 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
             bf = json.load(f)
         result["bf16_test_psnr"] = bf["test_psnr"]
         result["bf16_vs_f32_db"] = round(bf["test_psnr"] - prod["test_psnr"], 4)
+    pure_path = os.path.join(out, "production_pure.json")
+    if os.path.exists(pure_path) and tor.get("test_psnr") is not None:
+        # diagnosis arm: torch-vs-pure isolates trajectory decoherence;
+        # pure-vs-f32 isolates the TPU fast paths' quality cost
+        with open(pure_path) as f:
+            pure = json.load(f)
+        result["pure_test_psnr"] = pure["test_psnr"]
+        result["pure_vs_torch_db"] = round(
+            pure["test_psnr"] - tor["test_psnr"], 4
+        )
+        result["f32_vs_pure_db"] = round(
+            prod["test_psnr"] - pure["test_psnr"], 4
+        )
     with open(os.path.join(out, "compare.json"), "w") as f:
         json.dump(result, f, indent=1)
     log(json.dumps(result))
@@ -684,7 +708,10 @@ def main(argv=None) -> int:
                     choices=["production", "torch", "compare", "all"])
     ap.add_argument("--out", default="runs/full_recipe_parity")
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--arm", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--arm", default="f32", choices=["f32", "bf16", "pure"],
+                    help="pure = all TPU fast paths off (full march, no "
+                         "budgets): the decoherence-vs-fast-path-cost "
+                         "diagnosis arm")
     ap.add_argument("--tol_db", type=float, default=0.1)
     ap.add_argument("--torch_log", default=None,
                     help="compare fallback: rebuild the torch curve from "
