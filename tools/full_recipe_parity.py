@@ -26,8 +26,11 @@ Usage (phases split so the torch mirror can run on CPU while the TPU is
 free for other work):
 
   python tools/full_recipe_parity.py --phase production --out runs/frp
-  JAX_PLATFORMS=cpu python tools/full_recipe_parity.py --phase torch --out runs/frp
+  python tools/full_recipe_parity.py --phase torch --out runs/frp
   python tools/full_recipe_parity.py --phase compare --out runs/frp
+
+  (--phase torch forces the CPU platform itself — the JAX_PLATFORMS env
+  var does not survive this box's sitecustomize; see main().)
 
   --smoke runs a compressed schedule (600 steps) to validate the plumbing.
   --arm bf16 (production phase) additionally measures the shipped
@@ -51,7 +54,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-SEED = 777  # the loop default; the torch mirror replays its streams
+SEED = 777  # default; --seed varies init + batch stream + bkgd for the null
 
 
 # ---------------------------------------------------------------------------
@@ -60,7 +63,7 @@ SEED = 777  # the loop default; the torch mirror replays its streams
 
 
 def build_cfg(smoke: bool = False, grid_dtype: str = "float32",
-              pure: bool = False):
+              pure: bool = False, ablate: str = ""):
     """The garden recipe (garden_single.py) at reduced resolution: 48^3
     final grids (vs 200^3), N_rand 512 (vs 2048), 30k steps (vs 100k) —
     every schedule element kept, incl. the shipped TPU fast-path knobs."""
@@ -150,24 +153,55 @@ def build_cfg(smoke: bool = False, grid_dtype: str = "float32",
             # decoherence, and the difference between arms is the true
             # fast-path cost.
             grid_dtype=grid_dtype,
-            sample_budget=0 if pure else 96,
-            budget_probe_stride=1 if pure else 2,
+            # one-at-a-time ablation arms (VERDICT r4 #1: name the feature
+            # that costs dB, if any): sb0 = occupancy sample budget off,
+            # stride1 = full-resolution budget probe, sv0 = two-stage
+            # training forward off. `pure` = all off at once.
+            sample_budget=0 if (pure or ablate == "sb0") else 96,
+            budget_probe_stride=1 if (pure or ablate == "stride1") else 2,
             color_budget=0 if pure else 32,
             # two-stage TRAINING forward: active once the thres schedule
             # reaches 1e-4 — the torch mirror stays pure reference
             # semantics, so the gate covers the exact-gradient claim over
             # the full converged run
-            train_survivor_budget=0 if pure else 48,
+            train_survivor_budget=0 if (pure or ablate == "sv0") else 48,
         ),
     )
 
 
-def make_scene(smoke: bool = False):
+def make_scene(smoke: bool = False, out: str | None = None,
+               n_train: int = 32, n_test: int = 4, hw: int = 128):
+    """The gate scene. Round-5 default: 32 train views / 4 held-out at
+    128x128 (VERDICT r4 #4 — the 12-view 64x64 scene overfit to the point
+    where held-out PSNR was uninterpretable: train 51.7 vs held-out 12.6).
+    Held-out views stay interleaved on the same orbit, so with 36 views the
+    nearest train neighbors are ~10 deg away and the held-out signal is
+    constrained by training coverage, not extrapolation.
+
+    When `out` is given the scene is cached to ``<out>/scene.npz`` on first
+    generation and loaded thereafter, so the production (TPU) and torch
+    (CPU) phases see BIT-IDENTICAL ground truth — backend float drift in the
+    analytic integrator is removed from the parity budget."""
     from unboundednerfpytorch_tpu.data import synthetic
 
     if smoke:
         return synthetic.make_unbounded_data_dict(n_train=6, n_test=2, H=40, W=40)
-    return synthetic.make_unbounded_data_dict(n_train=12, n_test=3, H=64, W=64)
+    cache = os.path.join(out, "scene.npz") if out else None
+    if cache and os.path.exists(cache):
+        with np.load(cache) as z:
+            d = {k: z[k] for k in z.files}
+        for k in ("near", "far", "near_clip"):
+            d[k] = float(d[k])
+        d["irregular_shape"] = bool(d["irregular_shape"])
+        return d
+    d = synthetic.make_unbounded_data_dict(
+        n_train=n_train, n_test=n_test, H=hw, W=hw
+    )
+    if cache:
+        with open(cache + ".tmp", "wb") as f:
+            np.savez(f, **d)
+        os.replace(cache + ".tmp", cache)
+    return d
 
 
 # ---------------------------------------------------------------------------
@@ -175,22 +209,28 @@ def make_scene(smoke: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def run_production(out: str, smoke: bool, arm: str = "f32", log=print) -> dict:
+def _suffix(seed: int) -> str:
+    return "" if seed == SEED else f"_s{seed}"
+
+
+def run_production(out: str, smoke: bool, arm: str = "f32", log=print,
+                   seed: int = SEED) -> dict:
     import jax
     import jax.numpy as jnp
 
     from unboundednerfpytorch_tpu.train import loop
 
     cfg = build_cfg(smoke, "bfloat16" if arm == "bf16" else "float32",
-                    pure=(arm == "pure"))
-    data = make_scene(smoke)
-    exp_dir = os.path.join(out, f"production_{arm}")
+                    pure=(arm == "pure"),
+                    ablate=arm if arm in ("sb0", "stride1", "sv0") else "")
+    data = make_scene(smoke, out)
+    exp_dir = os.path.join(out, f"production_{arm}{_suffix(seed)}")
     os.makedirs(exp_dir, exist_ok=True)
 
     curve: list = []
     t0 = time.time()
     family, mcfg, params, train_psnr = loop.run_train(
-        cfg, data, seed=SEED, log_fn=log, exp_dir=exp_dir, no_reload=False,
+        cfg, data, seed=seed, log_fn=log, exp_dir=exp_dir, no_reload=False,
         use_mesh=False,
     )
     # the psnr-vs-step curve from the loop's own metrics log
@@ -211,27 +251,34 @@ def run_production(out: str, smoke: bool, arm: str = "f32", log=print) -> dict:
     # previously only measured against bench.py's own scene). The `pure`
     # diagnosis arm has no two-stage cache (color_budget=0) — skip.
     if arm == "pure":
-        baked_psnr, baked_delta = float("nan"), float("nan")
+        # no two-stage cache in the pure arm (color_budget=0): record None,
+        # not NaN — json.dump's NaN token breaks strict parsers (ADVICE r4)
+        baked_psnr = baked_delta = baked_cost = None
+        baked_note = "baked n/a (pure arm)"
     else:
         baked_psnr, baked_delta = eval_production_baked(
             family, mcfg, params, data, cfg, exact_imgs
         )
+        baked_psnr, baked_delta = float(baked_psnr), float(baked_delta)
+        baked_cost = float(test_psnr - baked_psnr)
+        baked_note = f"baked {baked_psnr:.3f}, cost {baked_cost:+.3f} dB"
     result = {
         "arm": arm,
+        "seed": seed,
         "train_psnr": float(train_psnr),
         "test_psnr": float(test_psnr),
-        "test_psnr_baked": float(baked_psnr),
-        "baked_cost_db": float(test_psnr - baked_psnr),
-        "baked_vs_exact_db": float(baked_delta),
+        "test_psnr_baked": baked_psnr,
+        "baked_cost_db": baked_cost,
+        "baked_vs_exact_db": baked_delta,
         "curve": curve,
         "train_seconds": round(train_s, 1),
         "backend": jax.default_backend(),
     }
-    with open(os.path.join(out, f"production_{arm}.json"), "w") as f:
+    with open(os.path.join(out, f"production_{arm}{_suffix(seed)}.json"),
+              "w") as f:
         json.dump(result, f)
-    log(f"[production/{arm}] held-out test PSNR {test_psnr:.3f} dB "
-        f"(baked {baked_psnr:.3f}, cost {test_psnr - baked_psnr:+.3f} dB; "
-        f"{train_s:.0f}s)")
+    log(f"[production/{arm}{_suffix(seed)}] held-out test PSNR "
+        f"{test_psnr:.3f} dB ({baked_note}; {train_s:.0f}s)")
     return result
 
 
@@ -382,7 +429,8 @@ def _torch_fg_forward_full(
     return marched, aux
 
 
-def run_torch_mirror(out: str, smoke: bool, log=print) -> dict:
+def run_torch_mirror(out: str, smoke: bool, log=print,
+                     seed: int = SEED) -> dict:
     import torch
 
     import jax
@@ -403,14 +451,14 @@ def run_torch_mirror(out: str, smoke: bool, log=print) -> dict:
     torch.manual_seed(0)
     cfg = build_cfg(smoke, "float32")
     tcfg = cfg.fine_train
-    data = make_scene(smoke)
+    data = make_scene(smoke, out)
 
     # identical model init: replay the loop's key derivation
     # (scene_rep_reconstruction: key=PRNGKey(seed); key, k_model = split)
     xyz_min, xyz_max = bbox_mod.compute_bbox_by_cam_frustrm(
         cfg, data, "FourierGrid"
     )
-    key = jax.random.PRNGKey(SEED)
+    key = jax.random.PRNGKey(seed)
     key, k_model = jax.random.split(key)
     family, mcfg, params0 = loop.build_model(
         cfg, cfg.fine_model_and_render, tcfg, xyz_min, xyz_max, k_model,
@@ -443,7 +491,7 @@ def run_torch_mirror(out: str, smoke: bool, log=print) -> dict:
     # identical batch stream: replay the loop's host flatten sampler
     store = loop.gather_training_rays(cfg, data, host=True)
     sampler = HostRayStoreSampler(
-        store, tcfg.N_rand, seed=SEED, mode="flatten"
+        store, tcfg.N_rand, seed=seed, mode="flatten"
     )
 
     # shared contracted-sampling geometry (same production fn; contraction
@@ -604,13 +652,14 @@ def run_torch_mirror(out: str, smoke: bool, log=print) -> dict:
     test_psnr = float(np.mean([-10 * np.log10(m) for m in mses]))
 
     result = {
+        "seed": seed,
         "test_psnr": test_psnr,
         "curve": curve,
         "train_seconds": round(time.time() - t0, 1),
     }
-    with open(os.path.join(out, "torch.json"), "w") as f:
+    with open(os.path.join(out, f"torch{_suffix(seed)}.json"), "w") as f:
         json.dump(result, f)
-    log(f"[torch] held-out test PSNR {test_psnr:.3f} dB")
+    log(f"[torch{_suffix(seed)}] held-out test PSNR {test_psnr:.3f} dB")
     return result
 
 
@@ -625,8 +674,9 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
     torch_json = os.path.join(out, "torch.json")
     if not os.path.exists(torch_json) and torch_log:
         # PARTIAL compare: the torch mirror is still running (or was cut
-        # off) — rebuild its curve from the phase log and gate only the
-        # curve overlay through the last shared step. No held-out delta.
+        # off) — rebuild its curve from the phase log. REPORT-ONLY: no gate
+        # is applied in partial mode (no held-out delta exists yet and the
+        # curve-tail delta is merely recorded); the assert below is skipped.
         import re
 
         curve = []
@@ -649,7 +699,9 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
     pc = dict((s, p) for s, p in prod["curve"])
     tc = dict((s, p) for s, p in tor["curve"])
     shared = sorted(set(pc) & set(tc))
-    tail = [s for s in shared if s >= shared[-1] * 0.75]
+    # shared may be empty (e.g. --torch_log on an early/empty log) — degrade
+    # to a no-curve partial result instead of IndexError (ADVICE r4)
+    tail = [s for s in shared if s >= shared[-1] * 0.75] if shared else []
     tail_delta = float(np.mean([abs(pc[s] - tc[s]) for s in tail])) if tail else None
 
     result = {
@@ -665,7 +717,7 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
     if partial:
         result["partial"] = True
         result["torch_last_step"] = shared[-1] if shared else 0
-    if "test_psnr_baked" in prod:
+    if prod.get("test_psnr_baked") is not None:
         # the shipped density-baked render mode's measured scene-PSNR cost
         # on this full-recipe-trained scene (VERDICT r3 weak #6)
         result["baked_test_psnr"] = prod["test_psnr_baked"]
@@ -702,29 +754,91 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
     return result
 
 
+def null_distribution(out: str, log=print) -> dict:
+    """Aggregate every seed's results into the seed-null distribution
+    (VERDICT r4 #1): production PSNR spread across seeds sizes the intrinsic
+    run-to-run noise of the recipe itself; per-seed |production − torch|
+    deltas (where a matching torch seed exists) are the cross-implementation
+    deltas the gate judges. Writes ``null.json``."""
+    import glob
+    import re
+
+    prods, torches = {}, {}
+    for path in glob.glob(os.path.join(out, "production_f32*.json")):
+        m = re.search(r"production_f32(?:_s(\d+))?\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            prods[int(m.group(1) or SEED)] = json.load(f)["test_psnr"]
+    for path in glob.glob(os.path.join(out, "torch*.json")):
+        m = re.search(r"torch(?:_s(\d+))?\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            torches[int(m.group(1) or SEED)] = json.load(f)["test_psnr"]
+    deltas = {
+        s: round(prods[s] - torches[s], 4) for s in sorted(prods)
+        if s in torches
+    }
+    pv = list(prods.values())
+    result = {
+        "production_seeds": {str(s): round(v, 4) for s, v in sorted(prods.items())},
+        "torch_seeds": {str(s): round(v, 4) for s, v in sorted(torches.items())},
+        "production_std_db": round(float(np.std(pv)), 4) if len(pv) > 1 else None,
+        "production_range_db": (
+            round(float(np.max(pv) - np.min(pv)), 4) if len(pv) > 1 else None
+        ),
+        "cross_impl_deltas_db": deltas,
+    }
+    with open(os.path.join(out, "null.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    log(json.dumps(result))
+    return result
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="all",
-                    choices=["production", "torch", "compare", "all"])
+                    choices=["production", "torch", "compare", "null", "all"])
     ap.add_argument("--out", default="runs/full_recipe_parity")
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--arm", default="f32", choices=["f32", "bf16", "pure"],
+    ap.add_argument("--arm", default="f32",
+                    choices=["f32", "bf16", "pure", "sb0", "stride1", "sv0"],
                     help="pure = all TPU fast paths off (full march, no "
                          "budgets): the decoherence-vs-fast-path-cost "
-                         "diagnosis arm")
+                         "diagnosis arm; sb0/stride1/sv0 ablate one fast "
+                         "path at a time off the f32 arm")
+    ap.add_argument("--seed", type=int, default=SEED,
+                    help="recipe seed (init + batch stream + rand_bkgd); "
+                         "non-default seeds write suffixed result files "
+                         "for the --phase null aggregation")
     ap.add_argument("--tol_db", type=float, default=0.1)
     ap.add_argument("--torch_log", default=None,
                     help="compare fallback: rebuild the torch curve from "
                          "this phase log when torch.json is absent "
-                         "(partial, curve-only gate)")
+                         "(partial, REPORT-ONLY — no gate applied)")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
+    if args.phase == "torch":
+        # Force the CPU platform FOR REAL. This box's sitecustomize imports
+        # jax and registers the axon TPU plugin at interpreter startup with
+        # a canonicalize_platform hook, so the JAX_PLATFORMS env var does
+        # NOT keep the process off the TPU — and a torch-phase process that
+        # touches the TPU takes the (exclusive) axon execution claim for
+        # its whole multi-hour run, starving every other TPU job. The
+        # config update below is the only reliable switch (valid until the
+        # first backend init; same mechanism as tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.phase in ("production", "all"):
-        run_production(args.out, args.smoke, args.arm)
+        run_production(args.out, args.smoke, args.arm, seed=args.seed)
     if args.phase in ("torch", "all"):
-        run_torch_mirror(args.out, args.smoke)
+        run_torch_mirror(args.out, args.smoke, seed=args.seed)
     if args.phase in ("compare", "all"):
         compare(args.out, args.tol_db, torch_log=args.torch_log)
+    if args.phase == "null":
+        null_distribution(args.out)
     return 0
 
 
