@@ -64,8 +64,10 @@ def test_staged_const_matches_two_stage_cache():
 
     # row-range constant splitting (the relay compile transport rejects
     # >~0.5GB request bodies; big tables ship as several sub-programs):
-    # force tiny caps so every bank splits into many ranges — must still be
-    # exact (out-of-range samples contribute masked zeros)
+    # force a cap sized off the k0 tables so every stage-D k0 bank splits
+    # into multiple ranges — must still be exact (out-of-range samples
+    # contribute masked zeros). The folded density tables are far smaller,
+    # so THIS cap leaves stage B unsplit — covered separately below.
     render_split = staged_const.make_staged_renderer(
         params, cfg, cache, H, W, block=800,
         const_max_bytes=max(
@@ -78,3 +80,22 @@ def test_staged_const_matches_two_stage_cache():
     np.testing.assert_allclose(rgb_p, rgb_ref, atol=2e-5)
     np.testing.assert_allclose(depth_p, depth_ref, atol=2e-5)
     np.testing.assert_allclose(bg_p, bg_ref, atol=2e-5)
+
+    # stage-B split coverage (ADVICE r4): a cap sized off the DENSITY
+    # tables forces the folded density banks into multiple row ranges,
+    # exercising the fold-offset local indexing (base - fr0*fold) that the
+    # k0-sized cap above never reaches. k0 banks split into many more
+    # ranges under this cap — still exact, just more sub-programs.
+    d_rows = cache.density_tables[0].shape[0]
+    assert d_rows >= 3, "fixture too small to force a density split"
+    render_dsplit = staged_const.make_staged_renderer(
+        params, cfg, cache, H, W, block=800,
+        const_max_bytes=(
+            cache.density_tables[0].shape[1]
+            * cache.density_tables[0].dtype.itemsize
+        ) * (d_rows // 3),
+    )
+    rgb_d, depth_d, bg_d = render_dsplit(K, pose, bg=1.0)
+    np.testing.assert_allclose(rgb_d, rgb_ref, atol=2e-5)
+    np.testing.assert_allclose(depth_d, depth_ref, atol=2e-5)
+    np.testing.assert_allclose(bg_d, bg_ref, atol=2e-5)

@@ -91,6 +91,11 @@ class TrainStageConfig:
     decay_after_scale: float = 1.0
     skip_zero_grad_fields: tuple = ()
     maskout_lt_nviews: int = 0
+    # eval-image panel cadence in steps (0 = off): every i_panel steps the
+    # loop renders the first held-out view and writes a [GT|pred|err|depth]
+    # PNG + panels.jsonl record under <exp_dir>/panels/ — the reference's
+    # TensorBoardLogger val-image capability (block_nerf_lightning.py:128-137)
+    i_panel: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,6 +146,13 @@ class ModelRenderConfig:
     # Occupancy probe stride for the sample-budget pre-pass (see
     # models/fourier_grid.FourierGridConfig.budget_probe_stride).
     budget_probe_stride: int = 1
+    # 2-level hierarchical occupancy probe for sparse scenes (see
+    # models/fourier_grid.FourierGridConfig.probe_coarse_stride): coarse
+    # block-pooled probe at this sample stride, fine strided probe only in
+    # the accepted candidate groups. 0 = off (flat strided probe).
+    probe_coarse_stride: int = 0
+    # candidate budget in coarse stride groups (0 = auto).
+    probe_candidate_groups: int = 0
     # Two-stage render engine: after the density pass + transmittance scan,
     # compact each ray to its first `color_budget` surviving samples
     # (weights > fast_color_thres) before the expensive color-bank gathers +

@@ -69,6 +69,26 @@ class FourierGridConfig:
     # conservative for every sample in its stride group at stepsize<=1
     # voxel. Divides the pre-pass gather rows by the stride.
     budget_probe_stride: int = 1
+    # 2-level hierarchical occupancy probe (VERDICT r4 #2 / SURVEY §7.3
+    # sparse path): probe one sample per `probe_coarse_stride`-group against
+    # a block-pooled + dilated COARSE occupancy grid first, expand the
+    # accepted stride groups into a fixed candidate set of
+    # `probe_candidate_groups` groups, and run the fine strided probe only
+    # inside those groups (candidate probe points are recomputed from the
+    # ray equation — vector FLOPs, no extra coordinate gathers). Probe
+    # gather rows drop from S/stride to S/cs + candidates/stride — a win on
+    # sparse trained scenes (mask occupancy <~0.45, the regime the
+    # reference's fast_color_thres compaction produces late in training).
+    # Conservative by construction: with ample candidate groups the
+    # selected sample set is IDENTICAL to the flat probe's (gated in
+    # tests/test_sparse_probe.py). 0 = off (flat strided probe). Must be an
+    # even multiple of budget_probe_stride.
+    probe_coarse_stride: int = 0
+    # candidate budget in stride groups; 0 = auto:
+    # ceil(1.5 * sample_budget / probe_coarse_stride). Rays whose coarse-
+    # accepted groups exceed the budget truncate their FAR tail (same
+    # far-tail truncation contract as sample_budget itself).
+    probe_candidate_groups: int = 0
     # Two-stage render engine (cache path only): after the density pass and
     # the transmittance scan, compact each ray to its first `color_budget`
     # samples with weights > fast_color_thres before the color-bank gathers
@@ -209,6 +229,8 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         grid_dtype=getattr(cfg_model, "grid_dtype", "float32"),
         packed_gather=getattr(cfg_model, "packed_gather", True),
         budget_probe_stride=getattr(cfg_model, "budget_probe_stride", 1),
+        probe_coarse_stride=getattr(cfg_model, "probe_coarse_stride", 0),
+        probe_candidate_groups=getattr(cfg_model, "probe_candidate_groups", 0),
         color_budget=getattr(cfg_model, "color_budget", 0),
         density_bake_scale=getattr(cfg_model, "density_bake_scale", 0.0),
         train_survivor_budget=getattr(cfg_model, "train_survivor_budget", 0),
@@ -491,6 +513,124 @@ def sample_ray(cfg: FourierGridConfig, rays_o, rays_d):
     return pts, inner, t
 
 
+def _probe_points_at(cfg: FourierGridConfig, rays_o, rays_d, t, idx):
+    """Contracted probe points at per-ray sample indices ``idx`` [N, M]:
+    recomputed from the ray equation (vector FLOPs + a gather from the tiny
+    [S] t-vector) instead of gathering precomputed coordinate rows — the
+    hierarchical probe's gathers stay mask-row-only."""
+    o = (rays_o - jnp.asarray(cfg.scene_center)) / jnp.asarray(cfg.scene_radius)
+    d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    t_sel = jnp.take(t, idx)  # [N, M]
+    pts = o[:, None, :] + d[:, None, :] * t_sel[..., None]
+    pts, _ = sampling.contract(
+        pts, bg_len=cfg.bg_len, norm_type=cfg.contracted_norm
+    )
+    return pts
+
+
+def _coarse_occupancy(mask_f: jnp.ndarray, p: int, window: int) -> jnp.ndarray:
+    """Block-pooled (stride ``p``) + ``window``-dilated coarse occupancy of
+    the (already probe-dilated) fine mask. Cheap enough to recompute inside
+    every jitted chunk (one reduce_window over the [X,Y,Z] bool volume)."""
+    X, Y, Z = mask_f.shape
+    pads = [(0, -x % p) for x in (X, Y, Z)]
+    m = jax.lax.reduce_window(
+        mask_f.astype(jnp.float32), -jnp.inf, jax.lax.max,
+        window_dimensions=(p, p, p), window_strides=(p, p, p),
+        padding=pads,
+    )
+    return interp.max_pool_3d_same(m, window) > 0.0
+
+
+def _coarse_lookup(coarse: jnp.ndarray, mask_cache, pts, p: int):
+    """Nearest-FINE-voxel -> block-index lookup into the coarse mask: the
+    exact ``fine_index // p`` mapping, so coarse addressing introduces no
+    separate rounding slop vs the fine mask's own nearest lookup."""
+    scale, shift = mask_cache._scale_shift()
+    ijk = jnp.round(pts * scale + shift).astype(jnp.int32)
+    fsz = jnp.asarray(mask_cache.mask.shape, jnp.int32)
+    in_b = jnp.all((ijk >= 0) & (ijk < fsz), axis=-1)
+    blk = jnp.clip(ijk, 0, fsz - 1) // p
+    csz = jnp.asarray(coarse.shape, jnp.int32)
+    flat = (blk[..., 0] * csz[1] + blk[..., 1]) * csz[2] + blk[..., 2]
+    return jnp.take(coarse.reshape(-1), flat, mode="clip") & in_b
+
+
+def budget_select(params, cfg: FourierGridConfig, pts, rays_o, rays_d, t):
+    """The sample-budget occupancy pre-pass: (sel [N, budget], sel_mask).
+
+    Flat mode (``probe_coarse_stride`` == 0): probe every
+    ``budget_probe_stride``-th sample against the dilated mask cache,
+    verdict forward-filled over its stride group — S/stride mask-gather
+    rows per ray.
+
+    Hierarchical mode (``probe_coarse_stride`` = cs > 1, VERDICT r4 #2):
+    probe each cs-sample group's CENTER against a block-pooled + dilated
+    coarse occupancy grid (S/cs rows), keep the first
+    ``probe_candidate_groups`` accepted groups, fine-probe only inside them
+    (candidates/stride rows at ray-equation-recomputed points), then select
+    the first ``sample_budget`` fine-accepted samples. Groups are aligned
+    to stride boundaries, so with ample candidates the selected set is
+    IDENTICAL to the flat probe's (conservative coarse dilation covers a
+    group's full reach); rays with more coarse-accepted groups than the
+    candidate budget truncate their far tail."""
+    N, S = pts.shape[:2]
+    stride = max(1, cfg.budget_probe_stride)
+    cs = int(cfg.probe_coarse_stride)
+    if cs <= 1:
+        if stride > 1:
+            pre_s = params.mask_cache(pts[:, ::stride])
+            pre = jnp.repeat(pre_s, stride, axis=1)[:, :S]
+        else:
+            pre = params.mask_cache(pts)
+        return sampling.compact_samples(pre, cfg.sample_budget)
+    assert cs % stride == 0 and cs % 2 == 0, (
+        f"probe_coarse_stride {cs} must be an even multiple of "
+        f"budget_probe_stride {stride}"
+    )
+    n_g = -(-S // cs)
+    c_g = int(cfg.probe_candidate_groups) or -(-int(1.5 * cfg.sample_budget) // cs)
+    c_g = min(c_g, n_g)
+    # coarse dilation sized so a center probe's verdict covers its whole
+    # group: reach = cs/2 steps of <= stepsize voxels each way, + block
+    # quantization (p) + 1 voxel nearest-rounding slop
+    p = max(2, cs // 2)
+    reach_vox = int(np.ceil((cs / 2) * cfg.stepsize)) + 1
+    window = 2 * int(np.ceil((reach_vox + p) / p)) + 1
+    coarse = _coarse_occupancy(params.mask_cache.mask, p, window)
+    c_idx = jnp.minimum(
+        jnp.arange(n_g, dtype=jnp.int32) * cs + cs // 2, S - 1
+    )
+    probe_pts = _probe_points_at(
+        cfg, rays_o, rays_d, t, jnp.broadcast_to(c_idx, (N, n_g))
+    )
+    cm = _coarse_lookup(coarse, params.mask_cache, probe_pts, p)  # [N, n_g]
+    sel_g, m_g = sampling.compact_samples(cm, c_g)  # [N, c_g] group ids
+    # fine strided probe INSIDE the candidate groups (group starts are
+    # stride-aligned: cs % stride == 0, so probe points coincide with the
+    # flat probe's)
+    off_p = jnp.arange(0, cs, stride, dtype=jnp.int32)
+    p_idx = (sel_g[:, :, None] * cs + off_p[None, None, :]).reshape(N, -1)
+    p_idx = jnp.minimum(p_idx, S - 1)
+    fine = params.mask_cache(_probe_points_at(cfg, rays_o, rays_d, t, p_idx))
+    fine = jnp.repeat(fine.reshape(N, c_g, -1), stride, axis=2)[:, :, :cs]
+    # final selection within candidates, composed back to [0, S) sample ids
+    off = jnp.arange(cs, dtype=jnp.int32)
+    samp_idx = sel_g[:, :, None] * cs + off[None, None, :]  # [N, c_g, cs]
+    valid = m_g[:, :, None] & (samp_idx < S) & fine
+    inner_budget = min(cfg.sample_budget, c_g * cs)
+    sel2, sel_mask = sampling.compact_samples(
+        valid.reshape(N, c_g * cs), inner_budget
+    )
+    sel = jnp.take_along_axis(samp_idx.reshape(N, c_g * cs), sel2, axis=1)
+    sel = jnp.where(sel_mask, sel, 0)
+    if inner_budget < cfg.sample_budget:  # degenerate tiny candidate budget
+        pad = cfg.sample_budget - inner_budget
+        sel = jnp.pad(sel, ((0, 0), (0, pad)))
+        sel_mask = jnp.pad(sel_mask, ((0, 0), (0, pad)))
+    return sel.astype(jnp.int32), sel_mask
+
+
 def forward(
     params: FourierGridParams,
     cfg: FourierGridConfig,
@@ -527,16 +667,9 @@ def forward(
     if cfg.sample_budget > 0 and cfg.sample_budget < S:
         # occupancy-guided fixed-budget compaction: gather only the first
         # `budget` occupied samples per ray for the expensive bank queries
-        stride = max(1, cfg.budget_probe_stride)
-        if stride > 1:
-            # strided probe against the dilated mask cache: every sample in a
-            # stride group shares its probe's verdict (conservative for
-            # stride<=2 with the 3^3 max-pool dilation)
-            pre_s = params.mask_cache(pts[:, ::stride])
-            pre = jnp.repeat(pre_s, stride, axis=1)[:, :S]
-        else:
-            pre = params.mask_cache(pts)
-        sel, sel_mask = sampling.compact_samples(pre, cfg.sample_budget)
+        # (flat strided probe, or the 2-level hierarchical probe when
+        # probe_coarse_stride is set — see budget_select)
+        sel, sel_mask = budget_select(params, cfg, pts, rays_o, rays_d, t)
         # one fused gather for all per-sample tensors (gathers are
         # issue-rate-bound: 1 wide take beats several narrow ones); `inner`
         # is not consumed downstream of this point, so it is not gathered
@@ -1001,6 +1134,81 @@ def update_occupancy_cache(params: FourierGridParams, cfg: FourierGridConfig):
     )
     new_mask = params.mask_cache.mask & (pooled > cfg.fast_color_thres)
     return params.replace(mask_cache=params.mask_cache.replace(mask=new_mask))
+
+
+def suggest_budgets(
+    params: FourierGridParams,
+    cfg: FourierGridConfig,
+    rays_o,
+    rays_d,
+    viewdirs,
+    *,
+    quantile: float = 0.999,
+    chunk: int = 1024,
+    slack: int = 8,
+) -> dict:
+    """Occupancy-adaptive budget sizing (VERDICT r4 #2 — the sparse-scene
+    speed path).
+
+    The reference's renderer is dynamic-shape: late in training its
+    fast_color_thres compaction drops ~99% of samples, so its per-ray work
+    tracks the scene's ACTUAL sparsity (FourierGrid_model.py:586-614). The
+    TPU engine's fixed budgets must be static — but nothing says they must
+    be one-size-fits-all: this measures the per-ray occupancy statistics of
+    the trained scene (probe-mask hits for ``sample_budget``; post-scan
+    weight-threshold survivors for ``color_budget``) over a probe ray set
+    and returns budgets at the given quantile + slack, rounded up to
+    multiples of 8. Rays beyond the quantile truncate their far tail —
+    the same contract as the budgets always had, now with the truncation
+    frequency chosen instead of inherited. Callers should gate the result
+    with a PSNR-vs-full-march check (bench.py does, per scene).
+
+    Returns dict(sample_budget, color_budget, occ_q, surv_q, occ_max,
+    surv_max, n_rays)."""
+    cfg_full = dataclasses.replace(
+        cfg, sample_budget=0, color_budget=0, train_survivor_budget=0,
+        density_bake_scale=0.0, probe_coarse_stride=0,
+    )
+    stride = max(1, cfg.budget_probe_stride)
+    S = 2 * cfg.n_inner
+
+    @jax.jit
+    def stats(ro, rd, vd):
+        pts, _, _t = sample_ray(cfg_full, ro, rd)
+        if stride > 1:
+            pre_s = params.mask_cache(pts[:, ::stride])
+            pre = jnp.repeat(pre_s, stride, axis=1)[:, :S]
+        else:
+            pre = params.mask_cache(pts)
+        res = forward(params, cfg_full, ro, rd, vd, bg=1.0)
+        return pre.sum(-1), res.mask.sum(-1)
+
+    n_occ, n_sur = [], []
+    n = rays_o.shape[0]
+    for i in range(0, n - n % chunk, chunk):
+        sl = slice(i, i + chunk)
+        a, b = stats(rays_o[sl], rays_d[sl], viewdirs[sl])
+        n_occ.append(np.asarray(a))
+        n_sur.append(np.asarray(b))
+    n_occ = np.concatenate(n_occ)
+    n_sur = np.concatenate(n_sur)
+
+    def _round8(v, lo, hi):
+        return int(np.clip(-(-int(v) // 8) * 8, lo, hi))
+
+    occ_q = float(np.quantile(n_occ, quantile))
+    sur_q = float(np.quantile(n_sur, quantile))
+    sb = _round8(occ_q + slack, 16, S)
+    cb = _round8(sur_q + slack, 8, sb)
+    return {
+        "sample_budget": sb,
+        "color_budget": cb,
+        "occ_q": occ_q,
+        "surv_q": sur_q,
+        "occ_max": int(n_occ.max()),
+        "surv_max": int(n_sur.max()),
+        "n_rays": int(n_occ.size),
+    }
 
 
 def render_rays_adaptive(

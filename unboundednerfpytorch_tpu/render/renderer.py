@@ -240,6 +240,7 @@ def render_viewpoints(
         gt_imgs = None
     rgbs, depths, bgmaps = [], [], []
     psnrs, ssims, lpips_vals = [], [], []
+    lpips_skipped = False
     for i, c2w in enumerate(np.asarray(poses)):
         H, W = (int(v) for v in np.asarray(HW)[i])
         K = np.asarray(Ks)[i]
@@ -268,7 +269,10 @@ def render_viewpoints(
                         for net in lpips_nets
                     })
                 except ImportError:
-                    pass
+                    # never SILENTLY omit a README-table metric (the
+                    # reference always evaluates LPIPS, utils.py:128-140):
+                    # record the skip and announce it in the summary below
+                    lpips_skipped = True
     if render_video_flipy:
         rgbs = [r[::-1] for r in rgbs]
         depths = [d[::-1] for d in depths]
@@ -288,6 +292,12 @@ def render_viewpoints(
                     f"render eval: lpips/{net} "
                     f"{np.mean([v[net] for v in lpips_vals]):.4f}"
                 )
+    if gt_imgs is not None and lpips_skipped:
+        log_fn(
+            "render eval: LPIPS SKIPPED (optional `lpips` package absent; "
+            "the reference README tables include it — install `lpips` to "
+            "restore the metric, see BASELINE.md)"
+        )
     return {
         "rgbs": np.stack(rgbs) if rgbs else np.zeros((0,)),
         "depths": np.stack(depths) if depths else np.zeros((0,)),

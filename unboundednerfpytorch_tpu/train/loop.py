@@ -387,6 +387,45 @@ def scene_rep_reconstruction(
         "stepsize": cfg_model.stepsize,
     }
 
+    # periodic held-out eval panels (VERDICT r4 #8): render the first test
+    # view through the CURRENT model at the i_panel cadence and write
+    # [GT|pred|err|depth] PNGs + a panels.jsonl psnr series. The render fn
+    # re-jits lazily per pg stage (mcfg identity changes at boundaries).
+    i_panel = int(getattr(cfg_train, "i_panel", 0))
+    _panel_cache: dict = {}
+
+    def _write_eval_panel(mcfg_now, params_now, step_now):
+        from unboundednerfpytorch_tpu.render import renderer as _renderer
+        from unboundednerfpytorch_tpu.utils import observability as _obs
+
+        i_test = np.asarray(data_dict["i_test"]).reshape(-1)
+        if i_test.size == 0:
+            return
+        view = int(i_test[0])
+        if _panel_cache.get("mcfg") is not mcfg_now:
+            eval_mcfg = mcfg_now
+            if getattr(eval_mcfg, "train_survivor_budget", 0):
+                eval_mcfg = dataclasses.replace(
+                    eval_mcfg, train_survivor_budget=0
+                )
+            eval_kwargs = {
+                k: v for k, v in render_kwargs.items() if k != "rand_bkgd"
+            }
+            _panel_cache["fwd"] = make_forward(family, eval_mcfg, eval_kwargs)
+            _panel_cache["mcfg"] = mcfg_now
+        Hp, Wp = (int(v) for v in np.asarray(data_dict["HW"])[view])
+        rgb, depth, bgmap = _renderer.render_image(
+            lambda aux, ro, rd, vd: _panel_cache["fwd"](aux, ro, rd, vd, None),
+            Hp, Wp, np.asarray(data_dict["Ks"])[view],
+            np.asarray(data_dict["poses"])[view][:3, :4],
+            aux=params_now,
+        )
+        view_psnr = _obs.record_panel(
+            exp_dir, stage, step_now, np.asarray(data_dict["images"][view]),
+            rgb, depth, bgmap,
+        )
+        log_fn(f"{stage} panel @ {step_now}: view {view} psnr {view_psnr:.2f}")
+
     use_host_store = cfg.data.load2gpu_on_the_fly
 
     # ray/batch data parallelism (auto when >1 chip is visible)
@@ -738,19 +777,21 @@ def scene_rep_reconstruction(
                 import json as _json
                 import os as _os
 
-                rec = {
-                    "step": global_step,
-                    "loss": float(m["loss"]),
-                    "psnr": last_psnr,
-                    "elapsed_s": round(eps, 2),
-                }
-                if "overflow_frac" in m:
-                    # two-stage training truncation observability — the
-                    # survivor-budget claim is only auditable if this
-                    # lands in the metrics log
-                    rec["overflow_frac"] = float(m["overflow_frac"])
+                # EVERY scalar the step emits lands in the series: loss,
+                # mse, psnr, each enabled loss component (unweighted),
+                # lr_scale, overflow_frac (two-stage truncation — the
+                # survivor-budget claim is only auditable if logged)
+                rec = {"step": global_step, "elapsed_s": round(eps, 2)}
+                for mk in sorted(m):
+                    mv = np.asarray(m[mk])
+                    if mv.ndim == 0:
+                        rec[mk] = float(mv)
                 with open(_os.path.join(exp_dir, f"{stage}_metrics.jsonl"), "a") as f:
                     f.write(_json.dumps(rec) + "\n")
+        # periodic held-out panel (TensorBoardLogger val-image equivalent)
+        if (i_panel and exp_dir is not None and jax.process_index() == 0
+                and (global_step % i_panel == 0 or global_step == n_iters)):
+            _write_eval_panel(mcfg, state.params, global_step)
         # periodic checkpoint (the reference's --i_weights cadence);
         # multi-host: only process 0 writes (params are fully replicated)
         if (save_every and exp_dir is not None and jax.process_index() == 0

@@ -118,26 +118,41 @@ def make_train_step(
         target = batch["rgb"]
         n_rays = target.shape[0]
 
+        # each enabled component also lands in metrics UNWEIGHTED (scalar
+        # observability, VERDICT r4 #8 — the reference's TensorBoardLogger
+        # scalar series, train_block_nerf.py:111-113); stop_gradient'd so
+        # recording never perturbs the backward
+        components = {}
         mse_loss = L.mse(res.rgb_marched, target)
         loss = train_cfg.weight_main * mse_loss
         if train_cfg.weight_freq > 0:
-            loss = loss + train_cfg.weight_freq * L.fourier_mse(res.rgb_marched, target)
+            term = L.fourier_mse(res.rgb_marched, target)
+            loss = loss + train_cfg.weight_freq * term
+            components["loss_freq"] = term
         if train_cfg.weight_entropy_last > 0:
-            loss = loss + train_cfg.weight_entropy_last * L.entropy_last(res.alphainv_last)
+            term = L.entropy_last(res.alphainv_last)
+            loss = loss + train_cfg.weight_entropy_last * term
+            components["loss_entropy"] = term
         if train_cfg.weight_nearclip > 0 and near_thres > 0:
-            loss = loss + train_cfg.weight_nearclip * L.nearclip(
+            term = L.nearclip(
                 res.raw_density, res.t, near_thres, mask=res.mask
             )
+            loss = loss + train_cfg.weight_nearclip * term
+            components["loss_nearclip"] = term
         if train_cfg.weight_distortion > 0:
-            loss = loss + train_cfg.weight_distortion * L.distortion(
-                res.weights, res.s, res.n_max, mask=res.mask
-            )
+            term = L.distortion(res.weights, res.s, res.n_max, mask=res.mask)
+            loss = loss + train_cfg.weight_distortion * term
+            components["loss_distortion"] = term
         if train_cfg.weight_rgbper > 0:
-            loss = loss + train_cfg.weight_rgbper * L.rgbper(
+            term = L.rgbper(
                 res.raw_rgb, target, res.weights, n_rays, mask=res.mask
             )
+            loss = loss + train_cfg.weight_rgbper * term
+            components["loss_rgbper"] = term
         psnr = L.mse2psnr(jax.lax.stop_gradient(mse_loss))
         metrics = {"loss": loss, "mse": mse_loss, "psnr": psnr}
+        for k, v in components.items():
+            metrics[k] = jax.lax.stop_gradient(v)
         if res.color_overflow_frac is not None:
             # two-stage training truncation observability (fraction of rays
             # with more thres-surviving samples than the survivor budget)
@@ -215,6 +230,7 @@ def make_train_step(
             )
         else:
             lr_scale = 1.0
+        metrics["lr_scale"] = jnp.asarray(lr_scale, jnp.float32)
         new_trainable, new_opt = masked_adam.update(
             trainable, grads, state.opt_state, hyper,
             lr_scale=lr_scale, per_lr=state.per_lr,
