@@ -121,6 +121,19 @@ def test_density_bake_is_close_and_observable():
     for a, b in zip(cache_exact.k0_tables, cache_baked.k0_tables):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # bf16 bake (VERDICT r4 #7): halves the baked density pass's bytes/row;
+    # must stay within ~0.5 dB of the f32 bake on this field (bandwidth win
+    # measured on TPU by bench.py)
+    cfg4 = dataclasses.replace(cfg3, density_bake_dtype="bfloat16")
+    cache_bf16 = fg.build_render_cache(params, cfg4)
+    assert cache_bf16.density_tables[0].dtype == jnp.bfloat16
+    res_bf16 = fg.forward(params, cfg4, ro, rd, vd, bg=1.0, cache=cache_bf16)
+    err16 = float(jnp.mean((res_bf16.rgb_marched - res_exact.rgb_marched) ** 2))
+    psnr16 = -10.0 * np.log10(max(err16, 1e-12))
+    assert psnr16 > psnr - 0.5, (
+        f"bf16 bake quantization cost too high: {psnr16:.1f} vs {psnr:.1f} dB"
+    )
+
 
 @pytest.mark.slow
 def test_two_stage_truncation_is_tail_only():

@@ -165,6 +165,9 @@ class ModelRenderConfig:
     # Color stays exact; training is unaffected. ~2.4x render throughput at
     # >40dB vs the exact render (bench.py measures per scene). 0 = off.
     density_bake_scale: float = 0.0
+    # dtype of the baked density table ("float32" | "bfloat16"): bf16 halves
+    # the baked density pass's bytes/row; quality cost measured per scene.
+    density_bake_dtype: str = "float32"
     # Two-stage TRAINING forward (models/fourier_grid.FourierGridConfig
     # .train_survivor_budget): stop-grad density probe -> fixed survivor
     # budget -> differentiable fused gather on survivors only. Active once

@@ -105,6 +105,11 @@ class FourierGridConfig:
     # tiny at scale>=1.6 (PSNR-vs-exact gated in tests/test_two_stage.py and
     # measured per-scene by bench.py); it never affects training. 0 = off.
     density_bake_scale: float = 0.0
+    # dtype of the baked density table ("float32" | "bfloat16"): the baked
+    # density pass is a pure bandwidth-bound row gather, so bf16 halves its
+    # bytes/row (VERDICT r4 #7). Quality cost measured per scene by bench.py
+    # alongside the bake's own resampling cost.
+    density_bake_dtype: str = "float32"
     # Two-stage TRAINING forward: a stop-gradient density probe on cheap
     # folded 1-channel tables picks each ray's first `train_survivor_budget`
     # samples with alpha > fast_color_thres; only those are re-gathered
@@ -233,6 +238,7 @@ def config_from(cfg_model, xyz_min, xyz_max, num_voxels_density, num_voxels_rgb,
         probe_candidate_groups=getattr(cfg_model, "probe_candidate_groups", 0),
         color_budget=getattr(cfg_model, "color_budget", 0),
         density_bake_scale=getattr(cfg_model, "density_bake_scale", 0.0),
+        density_bake_dtype=getattr(cfg_model, "density_bake_dtype", "float32"),
         train_survivor_budget=getattr(cfg_model, "train_survivor_budget", 0),
         train_two_stage_thres=getattr(cfg_model, "train_two_stage_thres", 1e-4),
     )
@@ -307,8 +313,8 @@ def _baked_density_dims(cfg: "FourierGridConfig") -> tuple | None:
     dims = cfg._world_size(
         int(cfg.num_voxels_density * cfg.density_bake_scale**3)
     )
-    # folded 1-channel f32 table: physical bytes = rows * 8 * 4 (f32 — bf16
-    # quantization of the baked values costs ~4 dB vs exact, measured)
+    # folded 1-channel table; guard with the f32 row bytes (conservative for
+    # a bfloat16 density_bake_dtype, which halves them)
     if int(np.prod([d + 1 for d in dims])) * 8 * 4 > _pack_bytes_limit():
         return None
     return dims
@@ -385,7 +391,10 @@ def build_render_cache(
             # Built BEFORE the k0 tables so the bake's pack transients don't
             # stack on top of the multi-GB color tables.
             fmt = None if out_formats is None else out_formats.density_tables[0]
-            grid_dt = jnp.float32  # see _baked_density_dims: bf16 quantizes
+            grid_dt = (
+                jnp.bfloat16 if cfg.density_bake_dtype == "bfloat16"
+                else jnp.float32
+            )
             if abstract:
                 t_rows = int(np.prod([d + 1 for d in bake_dims]))
                 table = jax.ShapeDtypeStruct(
