@@ -75,6 +75,7 @@ fine_model_and_render = dict(
     num_voxels_rgb=20**3, num_voxels_density=20**3,
     num_voxels_base_rgb=20**3, num_voxels_base_density=20**3,
     rgbnet_dim=4, alpha_init=1e-2, maskout_near_cam_vox=False,
+    sample_budget=16, budget_probe_stride=2, color_budget=8,
 )
 """)
     # train (auto-renders test split afterwards, reference behavior)
@@ -119,6 +120,11 @@ fine_model_and_render = dict(
           "--render_video_rot90", "1"])
     assert (os.path.exists(os.path.join(exp, "render_video.mp4"))
             or os.listdir(os.path.join(exp, "render_video_frames")))
+
+    # --auto_budget: occupancy-adaptive render budgets + hierarchical probe
+    # (scene-statistics path through fg.suggest_budgets)
+    main(["--config", cfg_path, "--render_only", "--render_test",
+          "--auto_budget"])
 
     # --save_train_imgs dumps the training split to the exp folder
     main(["--config", cfg_path, "--program", "export_bbox",

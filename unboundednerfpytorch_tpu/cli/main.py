@@ -101,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "rows; fourier_grid.bake_for_rendering)")
     p.add_argument("--bake_scale", type=float, default=1.26,
                    help="linear resolution multiplier for --bake_render")
+    p.add_argument("--auto_budget", action="store_true",
+                   help="size the render sample/color budgets from this "
+                        "scene's measured per-ray occupancy statistics and "
+                        "enable the hierarchical occupancy probe when the "
+                        "mask is sparse (fourier_grid.suggest_budgets) — "
+                        "big speedups on converged/sparse scenes, exactness "
+                        "tracked by the budgets' far-tail-truncation "
+                        "contract")
     p.add_argument("--grid_parallel", type=int, default=1,
                    help="shard voxel grids (+ Adam moments) spatially over a "
                         "`grid` mesh axis of this size — for >HBM grids "

@@ -94,6 +94,49 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
                 params, mcfg, scale=getattr(args, "bake_scale", 1.26)
             )
             print(f"baked render grids: {mcfg.world_size_density} single-bank")
+        if getattr(args, "auto_budget", False) and mcfg.sample_budget > 0:
+            # occupancy-adaptive budgets (VERDICT r4 #2): size the render
+            # budgets from THIS scene's measured per-ray statistics and
+            # enable the hierarchical probe when the mask is sparse —
+            # the render-time analog of the reference's dynamic
+            # fast_color_thres sparsity
+            import dataclasses as _dc
+
+            import jax.numpy as _jnp
+
+            from unboundednerfpytorch_tpu.ops import rays as _ray_ops
+
+            i_probe = np.asarray(data_dict["i_train"]).reshape(-1)[:4]
+            ro_l, rd_l, vd_l = [], [], []
+            for i in i_probe:
+                Hs, Ws = (int(v) for v in np.asarray(data_dict["HW"])[i])
+                ro, rd, vd = _ray_ops.get_rays_of_a_view(
+                    Hs, Ws, _jnp.asarray(data_dict["Ks"][i]),
+                    _jnp.asarray(data_dict["poses"][i][:3, :4]),
+                )
+                sl = slice(0, Hs * Ws, max(1, (Hs * Ws) // 1024))
+                ro_l.append(ro.reshape(-1, 3)[sl])
+                rd_l.append(rd.reshape(-1, 3)[sl])
+                vd_l.append(vd.reshape(-1, 3)[sl])
+            rec = fg.suggest_budgets(
+                params, mcfg, _jnp.concatenate(ro_l),
+                _jnp.concatenate(rd_l), _jnp.concatenate(vd_l), chunk=1024,
+            )
+            occ = float(np.mean(np.asarray(params.mask_cache.mask)))
+            knobs = {
+                "sample_budget": rec["sample_budget"],
+                "color_budget": (
+                    rec["color_budget"] if mcfg.color_budget > 0 else 0
+                ),
+            }
+            if occ < 0.45:
+                knobs["probe_coarse_stride"] = 8
+            mcfg = _dc.replace(mcfg, **knobs)
+            print(
+                f"auto budgets (occupancy {occ:.3f}): sample "
+                f"{rec['sample_budget']}, color {rec['color_budget']}, "
+                f"hierarchical probe {'on' if occ < 0.45 else 'off'}"
+            )
         cache = fg.build_render_cache(params, mcfg)
     fwd_core = make_forward(family, mcfg, render_kwargs, cache=cache)
     image_fn = None
