@@ -55,3 +55,26 @@ def test_full_recipe_parity(tmp_path):
     # held-out delta above, not the batch-psnr overlay.
     if not full and result["curve_tail_mean_delta_db"] is not None:
         assert result["curve_tail_mean_delta_db"] < 1.0
+
+
+def test_null_distribution_aggregation(tmp_path):
+    """--phase null: per-seed results aggregate into the seed-null record
+    (production spread + per-seed cross-implementation deltas)."""
+    mod = _load()
+    out = str(tmp_path / "frp")
+    os.makedirs(out, exist_ok=True)
+    for seed, psnr in ((777, 14.17), (1001, 14.02), (1002, 14.31)):
+        sfx = "" if seed == 777 else f"_s{seed}"
+        with open(os.path.join(out, f"production_f32{sfx}.json"), "w") as f:
+            json.dump({"test_psnr": psnr, "seed": seed}, f)
+    for seed, psnr in ((777, 14.30), (1001, 13.95)):
+        sfx = "" if seed == 777 else f"_s{seed}"
+        with open(os.path.join(out, f"torch{sfx}.json"), "w") as f:
+            json.dump({"test_psnr": psnr, "seed": seed}, f)
+    rec = mod.null_distribution(out, log=lambda *a: None)
+    assert set(rec["production_seeds"]) == {"777", "1001", "1002"}
+    assert set(rec["cross_impl_deltas_db"]) == {777, 1001}
+    assert abs(rec["cross_impl_deltas_db"][777] - (14.17 - 14.30)) < 1e-6
+    assert rec["production_std_db"] is not None
+    assert rec["production_range_db"] == round(14.31 - 14.02, 4)
+    assert os.path.exists(os.path.join(out, "null.json"))

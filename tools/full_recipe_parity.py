@@ -742,6 +742,19 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
         result["f32_vs_pure_db"] = round(
             prod["test_psnr"] - pure["test_psnr"], 4
         )
+    # one-at-a-time ablation arms (VERDICT r4 #1: NAME the fast-path
+    # feature that costs dB, if any): each arm turns ONE feature off the
+    # f32 configuration — sb0 = occupancy sample budget, stride1 = probe
+    # stride back to 1, sv0 = two-stage training forward
+    for arm in ("sb0", "stride1", "sv0"):
+        arm_path = os.path.join(out, f"production_{arm}.json")
+        if os.path.exists(arm_path):
+            with open(arm_path) as f:
+                a = json.load(f)
+            result[f"{arm}_test_psnr"] = a["test_psnr"]
+            result[f"{arm}_vs_f32_db"] = round(
+                a["test_psnr"] - prod["test_psnr"], 4
+            )
     with open(os.path.join(out, "compare.json"), "w") as f:
         json.dump(result, f, indent=1)
     log(json.dumps(result))

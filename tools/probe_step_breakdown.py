@@ -33,20 +33,25 @@ from unboundednerfpytorch_tpu.train.step import (
     create_train_state, make_train_step,
 )
 
-N = 2048
-ITERS = 10
+N = int(os.environ.get("PROBE_N", 2048))
+ITERS = int(os.environ.get("PROBE_ITERS", 10))
+VOX = int(os.environ.get("PROBE_VOX", 128))  # CPU smoke: PROBE_VOX=24
 
 
 def main():
     mr = ModelRenderConfig(
-        num_voxels_rgb=128**3, num_voxels_density=128**3,
-        num_voxels_base_rgb=128**3, num_voxels_base_density=128**3,
+        num_voxels_rgb=VOX**3, num_voxels_density=VOX**3,
+        num_voxels_base_rgb=VOX**3, num_voxels_base_density=VOX**3,
         rgbnet_dim=12, alpha_init=1e-4, fast_color_thres=1e-4,
         fourier_freq_num=3, bg_len=0.2, stepsize=1.0,
-        grid_dtype="bfloat16", sample_budget=96, budget_probe_stride=2,
-        color_budget=32,
+        grid_dtype="bfloat16",
+        # tiny CPU smokes (PROBE_VOX<64) shrink the march below the
+        # flagship budgets — scale them down so the budget paths still run
+        sample_budget=96 if VOX >= 64 else 16,
+        budget_probe_stride=2,
+        color_budget=32 if VOX >= 64 else 8,
     )
-    cfg = fg.config_from(mr, (-3, -3, -3), (3, 3, 3), 128**3, 128**3)
+    cfg = fg.config_from(mr, (-3, -3, -3), (3, 3, 3), VOX**3, VOX**3)
     tcfg = TrainStageConfig(
         N_iters=1, N_rand=N, pervoxel_lr=False,
         weight_entropy_last=1e-3, weight_rgbper=1e-2,
@@ -98,6 +103,8 @@ def main():
     def fresh_params():
         return fg.create(cfg, jax.random.PRNGKey(0))
 
+    only_ts = os.environ.get("PROBE_ONLY_TWO_STAGE") == "1"
+
     # a) forward only: nudge one param by the loss so nothing folds away
     def fwd_step(st, bt):
         tr, _ = factory.split_trainable(st.params, tcfg)
@@ -107,8 +114,10 @@ def main():
             density=dg.replace(grid=dg.grid + loss.astype(dg.grid.dtype) * 0)
         ))
 
-    a = timeit_state(fwd_step, lambda: create_train_state(fresh_params(), tcfg))
-    print(f"a) forward only:             {a*1e3:7.1f} ms", flush=True)
+    a = (0.0 if only_ts else timeit_state(
+        fwd_step, lambda: create_train_state(fresh_params(), tcfg)))
+    if not only_ts:
+        print(f"a) forward only:             {a*1e3:7.1f} ms", flush=True)
 
     # b) + backward (SGD consume)
     def sgd_step(st, bt):
@@ -118,9 +127,11 @@ def main():
                               tr, grads)
         return st.replace(params=factory.merge_trainable(st.params, new_tr))
 
-    b = timeit_state(sgd_step, lambda: create_train_state(fresh_params(), tcfg))
-    print(f"b) + backward (sgd):         {b*1e3:7.1f} ms (bwd ~{(b-a)*1e3:.0f})",
-          flush=True)
+    b = (0.0 if only_ts else timeit_state(
+        sgd_step, lambda: create_train_state(fresh_params(), tcfg)))
+    if not only_ts:
+        print(f"b) + backward (sgd):         {b*1e3:7.1f} ms (bwd ~{(b-a)*1e3:.0f})",
+              flush=True)
 
     # c) + masked Adam
     def adam_step(st, bt):
@@ -134,9 +145,11 @@ def main():
             opt_state=new_opt,
         )
 
-    c = timeit_state(adam_step, lambda: create_train_state(fresh_params(), tcfg))
-    print(f"c) + masked Adam:            {c*1e3:7.1f} ms (adam ~{(c-b)*1e3:.0f})",
-          flush=True)
+    c = (0.0 if only_ts else timeit_state(
+        adam_step, lambda: create_train_state(fresh_params(), tcfg)))
+    if not only_ts:
+        print(f"c) + masked Adam:            {c*1e3:7.1f} ms (adam ~{(c-b)*1e3:.0f})",
+              flush=True)
 
     # d) full production step (fused Pallas TV on TPU)
     tv_fused = None
@@ -147,10 +160,94 @@ def main():
         fwd, tcfg, world_size_max=float(max(cfg.world_size)),
         tv_fused=tv_fused,
     )
-    d = timeit_state(lambda st, bt: core(st, bt, key)[0],
+    d = (0.0 if only_ts else timeit_state(
+        lambda st, bt: core(st, bt, key)[0],
+        lambda: create_train_state(fresh_params(), tcfg)))
+    if not only_ts:
+        print(f"d) full step (fused TV):     {d*1e3:7.1f} ms (tv+misc ~{(d-c)*1e3:.0f})",
+              flush=True)
+
+    # --- two-stage TRAINING forward phases (VERDICT r4 #3 diagnosis) ------
+    import dataclasses
+
+    from unboundednerfpytorch_tpu.ops import alpha as alpha_ops
+    from unboundednerfpytorch_tpu.ops import packed as packed_ops
+    from unboundednerfpytorch_tpu.ops import sampling
+
+    cfg_ts = dataclasses.replace(
+        cfg, train_survivor_budget=48 if VOX >= 64 else 8
+    )
+
+    # e) stage A ONLY: stop-grad folded density probe + survivor selection
+    def stage_a_step(st, bt):
+        p = st.params
+        pts, _, t = fg.sample_ray(cfg_ts, bt["rays_o"], bt["rays_d"])
+        sel, selm = fg.budget_select(
+            p, cfg_ts, pts, bt["rays_o"], bt["rays_d"], t
+        )
+        S = cfg_ts.sample_budget
+        stk = jnp.concatenate(
+            [pts, jnp.broadcast_to(t, pts.shape[:2])[..., None]], -1
+        )
+        g = sampling.gather_samples(stk, sel)
+        pts_b = g[..., :3]
+        B = p.density.grid.shape[0]
+        dims = p.density.grid.shape[1:4]
+        sg = jax.lax.stop_gradient
+        fold = 16
+        c01b = jnp.moveaxis(fg._bank_coords01(cfg_ts, sg(pts_b)), -2, 0)
+        acc = None
+        for bb in range(B):
+            table = packed_ops.pack_corners_folded(sg(p.density.grid[bb]), fold)
+            base, w = packed_ops.corner_base_and_weights(c01b[bb], dims)
+            v = packed_ops.packed_trilerp_folded(table, base, w, 1, fold)
+            acc = v if acc is None else acc + v
+        val = (acc[..., 0] / B).sum()
+        dg = p.density
+        return st.replace(params=p.replace(
+            density=dg.replace(grid=dg.grid + val.astype(dg.grid.dtype) * 0)
+        ))
+
+    e = timeit_state(stage_a_step,
                      lambda: create_train_state(fresh_params(), tcfg))
-    print(f"d) full step (fused TV):     {d*1e3:7.1f} ms (tv+misc ~{(d-c)*1e3:.0f})",
-          flush=True)
+    print(f"e) budget+stageA probe only: {e*1e3:7.1f} ms", flush=True)
+
+    # f) full two-stage forward only
+    def fwd_ts(p, ro, rd, vd, key=None, img_index=None):
+        return fg.forward(p, cfg_ts, ro, rd, vd, bg=1.0)
+
+    def loss_fn_ts(tr, frozen, batch):
+        merged = factory.merge_trainable(frozen, tr)
+        res = fwd_ts(merged, batch["rays_o"], batch["rays_d"], batch["viewdirs"])
+        loss = L.mse(res.rgb_marched, batch["rgb"])
+        loss = loss + 1e-3 * L.entropy_last(res.alphainv_last)
+        loss = loss + 1e-2 * L.rgbper(
+            res.raw_rgb, batch["rgb"], res.weights, N, mask=res.mask
+        )
+        return loss
+
+    def fwd_ts_step(st, bt):
+        tr, _ = factory.split_trainable(st.params, tcfg)
+        loss = loss_fn_ts(tr, st.params, bt)
+        dg = st.params.density
+        return st.replace(params=st.params.replace(
+            density=dg.replace(grid=dg.grid + loss.astype(dg.grid.dtype) * 0)
+        ))
+
+    f = timeit_state(fwd_ts_step,
+                     lambda: create_train_state(fresh_params(), tcfg))
+    print(f"f) two-stage forward only:   {f*1e3:7.1f} ms "
+          f"(stage B fwd ~{(f-e)*1e3:.0f})", flush=True)
+
+    # g) two-stage full production step
+    core_ts = make_train_step(
+        fwd_ts, tcfg, world_size_max=float(max(cfg.world_size)),
+        tv_fused=tv_fused,
+    )
+    g = timeit_state(lambda st, bt: core_ts(st, bt, key)[0],
+                     lambda: create_train_state(fresh_params(), tcfg))
+    print(f"g) two-stage full step:      {g*1e3:7.1f} ms "
+          f"(bwd+opt+tv ~{(g-f)*1e3:.0f})", flush=True)
 
 
 if __name__ == "__main__":
