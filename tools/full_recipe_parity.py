@@ -116,6 +116,10 @@ def build_cfg(smoke: bool = False, grid_dtype: str = "float32",
             lrate_decay=80,
             pervoxel_lr=False,
             ray_sampler="flatten",
+            # held-out eval panels every 2k steps (VERDICT r4 #8 evidence:
+            # a 30k run leaves plottable curves + panels in its exp dir);
+            # render-only, does not touch the training trajectory
+            i_panel=0 if smoke else 2000,
             weight_main=1.0,
             weight_entropy_last=0.001,
             weight_rgbper=0.01,
