@@ -63,12 +63,15 @@ def _phase(msg: str) -> None:
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
-REFERENCE_RAYS_PER_S = 1.5e5  # proxy — see module docstring
+REFERENCE_RAYS_PER_S = 1.5e5  # derived estimate — see BASELINE.md
 
-TRAIN_STEPS = 250
-TRAIN_BATCH = 2048
+TRAIN_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", 250))
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", 2048))
 TIMED_TRAIN_STEPS = 10
-H = W = 800
+H = W = int(os.environ.get("BENCH_HW", 800))
+# BENCH_VOX shrinks the flagship grid for CPU smoke runs of the bench
+# plumbing (default 160 = the real benchmark; never lower it on TPU runs)
+VOX = int(os.environ.get("BENCH_VOX", 160))
 
 
 def _const_variants(mode: str) -> list:
@@ -106,10 +109,10 @@ def main() -> None:
     # flagship config: 160^3 fourier grids (7 banks), rgb MLP, bf16 grids,
     # occupancy-guided 96-sample budget (the garden_single-class fine model)
     mr = ModelRenderConfig(
-        num_voxels_rgb=160**3,
-        num_voxels_density=160**3,
-        num_voxels_base_rgb=160**3,
-        num_voxels_base_density=160**3,
+        num_voxels_rgb=VOX**3,
+        num_voxels_density=VOX**3,
+        num_voxels_base_rgb=VOX**3,
+        num_voxels_base_density=VOX**3,
         rgbnet_dim=12,
         # the garden_single-class values (nerf_unbounded_default.py:32): at
         # alpha_init==fast_color_thres, untouched voxels sit exactly AT the
@@ -125,7 +128,7 @@ def main() -> None:
         budget_probe_stride=2,
         color_budget=32,
     )
-    cfg = fg.config_from(mr, (-3, -3, -3), (3, 3, 3), 160**3, 160**3)
+    cfg = fg.config_from(mr, (-3, -3, -3), (3, 3, 3), VOX**3, VOX**3)
     params = fg.create(cfg, jax.random.PRNGKey(0))
 
     tcfg = TrainStageConfig(
@@ -202,46 +205,61 @@ def main() -> None:
     def class_ceiling(shape, dtype):
         tbl = jnp.zeros(shape, dtype)
 
+        # SORTED random indices, prepared on the host OUTSIDE the timed
+        # program: the render's gathers are ray-coherent (consecutive
+        # samples hit nearby rows), so a random-index probe is NOT an upper
+        # bound — monotone indices are the coherent best case, which keeps
+        # pct-of-ceiling <= 100 for any real access pattern
+        host_rng = np.random.default_rng(0)
+        idxs = [
+            jnp.asarray(np.sort(host_rng.integers(
+                0, shape[0], n_probe_rows, dtype=np.int32
+            )))
+            for _ in range(4)
+        ]
         if tbl.ndim == 1:
 
             @jax.jit
-            def probe(t, k):
-                idx = jax.random.randint(k, (n_probe_rows,), 0, t.shape[0])
+            def probe(t, idx):
                 return jnp.take(t, idx, mode="clip").astype(jnp.float32).sum()
 
         else:
 
             @jax.jit
-            def probe(t, k):
-                idx = jax.random.randint(k, (n_probe_rows,), 0, t.shape[0])
+            def probe(t, idx):
                 return jnp.take(t, idx, axis=0).astype(jnp.float32).sum()
 
-        float(probe(tbl, jax.random.PRNGKey(0)))  # compile + warm
+        float(probe(tbl, idxs[3]))  # compile + warm
         best = float("inf")
         for rep in range(3):
             t0 = time.perf_counter()
-            float(probe(tbl, jax.random.PRNGKey(100 + rep)))
+            float(probe(tbl, idxs[rep]))
             best = min(best, time.perf_counter() - t0)
         del tbl
         gc.collect()
         return n_probe_rows / best
 
     fold = 16  # 128 // 8, the density fold (models/fourier_grid.py)
-    d_rows = -(-(161**3) // fold)
-    bake_rows = -(-(321**3) // fold)
-    k0_lanes = 8 * 12  # 8 corners x rgbnet_dim
+    n_lattice = int(np.prod([d + 1 for d in cfg.world_size_density]))
+    bake_lattice = int(np.prod([
+        2 * d + 1 for d in cfg.world_size_density
+    ]))  # density_bake_scale=2 lattice
+    d_rows = -(-n_lattice // fold)
+    bake_rows = -(-bake_lattice // fold)
+    k0_lanes = 8 * mr.rgbnet_dim  # 8 corners x rgbnet_dim
+    S_march = 2 * cfg.n_inner
     ceilings = {
         # nearest-voxel mask probe: scalar take from the bool occupancy
-        "mask": class_ceiling((161**3,), jnp.bool_),
+        "mask": class_ceiling((n_lattice,), jnp.bool_),
         # per-sample coordinate rows gathered by the budget compactions
-        "coord4": class_ceiling((2048 * 268, 4), jnp.float32),
+        "coord4": class_ceiling((TRAIN_BATCH * S_march, 4), jnp.float32),
         # folded density rows, exact table dims/dtype (bf16 grids)
         "dfold": class_ceiling((d_rows, fold * 8), jnp.bfloat16),
         # folded density rows at the baked 2x dims, f32 and bf16 bakes
         "dbake_f32": class_ceiling((bake_rows, fold * 8), jnp.float32),
         "dbake_bf16": class_ceiling((bake_rows, fold * 8), jnp.bfloat16),
         # wide k0 color rows
-        "k0row": class_ceiling((161**3, k0_lanes), jnp.bfloat16),
+        "k0row": class_ceiling((n_lattice, k0_lanes), jnp.bfloat16),
     }
     _phase(
         "gather ceilings (M rows/s): "
@@ -577,21 +595,26 @@ def main() -> None:
             for i in range(3)
         ]
         gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
-        inside = (
-            (jnp.abs(gz + 0.225) < 0.025)
-            & (jnp.abs(gx) < 1.0) & (jnp.abs(gy) < 1.0)
+        # SMOOTH membership (sigmoid falloff over ~1.5 voxels): trained
+        # density fields are band-limited, and a hard-edged synthetic field
+        # would make the 2x bake's lattice resample look far worse than it
+        # is on real scenes
+        w = 1.5 * float(2.4 / ws[0])  # ~1.5 voxel widths in scene units
+        sig = lambda d: jax.nn.sigmoid(d / w)  # d>0 = inside
+        m = sig(0.025 - jnp.abs(gz + 0.225)) * sig(1.0 - jnp.abs(gx)) * sig(
+            1.0 - jnp.abs(gy)
         )
         rng = np.random.default_rng(7)
         for _ in range(6):
             c = rng.uniform(-0.7, 0.7, 3)
             r = rng.uniform(0.12, 0.28)
-            inside = inside | (
+            dist = jnp.sqrt(
                 (gx - c[0]) ** 2 + (gy - c[1]) ** 2 + (gz - c[2]) ** 2
-                < r**2
             )
+            m = jnp.maximum(m, sig(r - dist))
         linf = jnp.maximum(jnp.abs(gx), jnp.maximum(jnp.abs(gy), jnp.abs(gz)))
-        inside = inside | ((linf > 1.06) & (linf < 1.09))
-        dens = jnp.where(inside, 8.0, -8.0).astype(params.density.grid.dtype)
+        m = jnp.maximum(m, sig(0.015 - jnp.abs(linf - 1.075)))
+        dens = (16.0 * m - 8.0).astype(params.density.grid.dtype)
         new_grid = jnp.zeros_like(params.density.grid)
         new_grid = new_grid.at[0, ..., 0].set(B * dens)
         params_s = params.replace(
