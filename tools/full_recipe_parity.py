@@ -672,10 +672,15 @@ def run_torch_mirror(out: str, smoke: bool, log=print,
 # ---------------------------------------------------------------------------
 
 
-def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
-    with open(os.path.join(out, "production_f32.json")) as f:
+def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None,
+            seed: int = SEED) -> dict:
+    """Gate |production − torch| held-out delta at ``tol_db`` for one seed
+    pair (default 777; --seed gates another pair and writes a suffixed
+    compare file). Ablation-arm reporting rides along for the default
+    seed."""
+    with open(os.path.join(out, f"production_f32{_suffix(seed)}.json")) as f:
         prod = json.load(f)
-    torch_json = os.path.join(out, "torch.json")
+    torch_json = os.path.join(out, f"torch{_suffix(seed)}.json")
     if not os.path.exists(torch_json) and torch_log:
         # PARTIAL compare: the torch mirror is still running (or was cut
         # off) — rebuild its curve from the phase log. REPORT-ONLY: no gate
@@ -709,6 +714,7 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
     tail_delta = float(np.mean([abs(pc[s] - tc[s]) for s in tail])) if tail else None
 
     result = {
+        "seed": seed,
         "production_test_psnr": prod["test_psnr"],
         "torch_test_psnr": tor["test_psnr"],
         "delta_db": round(delta, 4) if delta is not None else None,
@@ -727,13 +733,20 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
         result["baked_test_psnr"] = prod["test_psnr_baked"]
         result["baked_cost_db"] = round(prod["baked_cost_db"], 4)
         result["baked_vs_exact_db"] = round(prod["baked_vs_exact_db"], 2)
+    # arm files are unsuffixed (seed-777); pairing them against another
+    # seed's production run would be apples-to-oranges — all arm reporting
+    # below is seed-777-only
     bf16_path = os.path.join(out, "production_bf16.json")
+    if seed != SEED:
+        bf16_path = "/nonexistent"
     if os.path.exists(bf16_path):
         with open(bf16_path) as f:
             bf = json.load(f)
         result["bf16_test_psnr"] = bf["test_psnr"]
         result["bf16_vs_f32_db"] = round(bf["test_psnr"] - prod["test_psnr"], 4)
     pure_path = os.path.join(out, "production_pure.json")
+    if seed != SEED:
+        pure_path = "/nonexistent"
     if os.path.exists(pure_path) and tor.get("test_psnr") is not None:
         # diagnosis arm: torch-vs-pure isolates trajectory decoherence;
         # pure-vs-f32 isolates the TPU fast paths' quality cost
@@ -750,7 +763,7 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
     # feature that costs dB, if any): each arm turns ONE feature off the
     # f32 configuration — sb0 = occupancy sample budget, stride1 = probe
     # stride back to 1, sv0 = two-stage training forward
-    for arm in ("sb0", "stride1", "sv0"):
+    for arm in ("sb0", "stride1", "sv0") if seed == SEED else ():
         arm_path = os.path.join(out, f"production_{arm}.json")
         if os.path.exists(arm_path):
             with open(arm_path) as f:
@@ -759,7 +772,7 @@ def compare(out: str, tol_db: float = 0.1, log=print, torch_log=None) -> dict:
             result[f"{arm}_vs_f32_db"] = round(
                 a["test_psnr"] - prod["test_psnr"], 4
             )
-    with open(os.path.join(out, "compare.json"), "w") as f:
+    with open(os.path.join(out, f"compare{_suffix(seed)}.json"), "w") as f:
         json.dump(result, f, indent=1)
     log(json.dumps(result))
     if not partial:
@@ -853,7 +866,8 @@ def main(argv=None) -> int:
     if args.phase in ("torch", "all"):
         run_torch_mirror(args.out, args.smoke, seed=args.seed)
     if args.phase in ("compare", "all"):
-        compare(args.out, args.tol_db, torch_log=args.torch_log)
+        compare(args.out, args.tol_db, torch_log=args.torch_log,
+                seed=args.seed)
     if args.phase == "null":
         null_distribution(args.out)
     return 0
