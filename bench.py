@@ -627,12 +627,23 @@ def main() -> None:
         occ_s = float(jnp.mean(params_s.mask_cache.mask.astype(jnp.float32)))
         _phase(f"sparse scene: occupancy {occ_s:.4f}")
 
+        # fused single-stage cache, packed ONCE: serves both the budget
+        # statistics pass and the full-march reference render (an uncached
+        # full-march forward re-packs the 7 multi-GB tables inside every
+        # chunk's program — >20 min through the relay, measured)
+        cfg_full = dataclasses.replace(
+            cfg, sample_budget=0, color_budget=0, density_bake_scale=0.0
+        )
+        cache_full = fg.build_render_cache(params_s, cfg_full)
+        jax.block_until_ready(cache_full)
+        _phase("sparse full-march cache built")
+
         # occupancy-adaptive budgets from the scene's measured ray stats
         n_probe = 4096
         rec = fg.suggest_budgets(
             params_s, cfg, store["rays_o"][:n_probe],
             store["rays_d"][:n_probe], store["viewdirs"][:n_probe],
-            chunk=1024,
+            chunk=1024, cache=cache_full,
         )
         _phase(
             f"sparse budgets: sample {rec['sample_budget']} "
@@ -647,11 +658,6 @@ def main() -> None:
 
         # full-march reference render of the SAME model (no budgets): the
         # per-scene exactness bar for the adaptive modes
-        cfg_full = dataclasses.replace(
-            cfg, sample_budget=0, color_budget=0, density_bake_scale=0.0
-        )
-        cache_full = fg.build_render_cache(params_s, cfg_full)
-        jax.block_until_ready(cache_full)
 
         def fwd_full(aux, ro, rd, vd):
             return fg.forward(aux[0], cfg_full, ro, rd, vd, bg=1.0, cache=aux[1])

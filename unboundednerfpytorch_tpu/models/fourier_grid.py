@@ -1155,6 +1155,7 @@ def suggest_budgets(
     quantile: float = 0.999,
     chunk: int = 1024,
     slack: int = 8,
+    cache: RenderCache | None = None,
 ) -> dict:
     """Occupancy-adaptive budget sizing (VERDICT r4 #2 — the sparse-scene
     speed path).
@@ -1171,6 +1172,13 @@ def suggest_budgets(
     the same contract as the budgets always had, now with the truncation
     frequency chosen instead of inherited. Callers should gate the result
     with a PSNR-vs-full-march check (bench.py does, per scene).
+
+    Pass a SINGLE-STAGE render ``cache`` (build_render_cache with
+    color_budget=0 semantics — fused packed tables) when calling at scale:
+    without one the full-march forward re-packs the 7 fused multi-GB
+    tables ON THE FLY inside every chunk's program, which compiles and
+    runs pathologically slowly through the relay (measured: >20 min at
+    160^3 where the cached form takes seconds).
 
     Returns dict(sample_budget, color_budget, occ_q, surv_q, occ_max,
     surv_max, n_rays)."""
@@ -1189,7 +1197,7 @@ def suggest_budgets(
             pre = jnp.repeat(pre_s, stride, axis=1)[:, :S]
         else:
             pre = params.mask_cache(pts)
-        res = forward(params, cfg_full, ro, rd, vd, bg=1.0)
+        res = forward(params, cfg_full, ro, rd, vd, bg=1.0, cache=cache)
         return pre.sum(-1), res.mask.sum(-1)
 
     n_occ, n_sur = [], []
