@@ -1189,8 +1189,11 @@ def suggest_budgets(
     stride = max(1, cfg.budget_probe_stride)
     S = 2 * cfg.n_inner
 
+    # params/cache ride as jit ARGUMENTS — closing over them would bake
+    # ~6GB of tables into the program as constants (relay transport caps
+    # request bodies at ~256MB; measured tools/probe_const_limit.py)
     @jax.jit
-    def stats(ro, rd, vd):
+    def stats(params, cache, ro, rd, vd):
         pts, _, _t = sample_ray(cfg_full, ro, rd)
         if stride > 1:
             pre_s = params.mask_cache(pts[:, ::stride])
@@ -1204,7 +1207,7 @@ def suggest_budgets(
     n = rays_o.shape[0]
     for i in range(0, n - n % chunk, chunk):
         sl = slice(i, i + chunk)
-        a, b = stats(rays_o[sl], rays_d[sl], viewdirs[sl])
+        a, b = stats(params, cache, rays_o[sl], rays_d[sl], viewdirs[sl])
         n_occ.append(np.asarray(a))
         n_sur.append(np.asarray(b))
     n_occ = np.concatenate(n_occ)
