@@ -84,7 +84,18 @@ def _batched_renderer(forward_fn, chunk: int, n_chunks: int, has_aux: bool,
 
         def ensure_compiled(aux, ro, rd, vd):
             if "compiled" not in state:
-                compiled = jfn.lower(aux, ro, rd, vd).compile()
+                # Layout.AUTO lowering accepts only ABSTRACT leaves — a
+                # direct render_image call passes concrete arrays, so
+                # shape-abstract them here (callers that pre-negotiated via
+                # aux_format() hit the cache and never reach this path)
+                aux_abs = jax.tree.map(
+                    lambda x: (
+                        jax.ShapeDtypeStruct(x.shape, x.dtype)
+                        if isinstance(x, jax.Array) else x
+                    ),
+                    aux,
+                )
+                compiled = jfn.lower(aux_abs, ro, rd, vd).compile()
                 state["compiled"] = compiled
                 state["aux_fmt"] = compiled.input_formats[0][0]
             return state["aux_fmt"]
