@@ -681,11 +681,15 @@ def main() -> None:
             f"sparse budgets: sample {rec['sample_budget']} "
             f"(occ q {rec['occ_q']:.0f} max {rec['occ_max']}), color "
             f"{rec['color_budget']} (surv q {rec['surv_q']:.0f} max "
-            f"{rec['surv_max']})"
+            f"{rec['surv_max']}), candidate groups "
+            f"{rec['probe_candidate_groups']} (groups q "
+            f"{rec['groups_q']:.0f} max {rec['groups_max']})"
         )
         cfg_s = dataclasses.replace(
             cfg, sample_budget=rec["sample_budget"],
-            color_budget=rec["color_budget"], probe_coarse_stride=8,
+            color_budget=rec["color_budget"],
+            probe_coarse_stride=rec["probe_coarse_stride"],
+            probe_candidate_groups=rec["probe_candidate_groups"],
         )
 
         # full-march reference render of the SAME model (no budgets): the

@@ -1192,6 +1192,9 @@ def suggest_budgets(
     # params/cache ride as jit ARGUMENTS — closing over them would bake
     # ~6GB of tables into the program as constants (relay transport caps
     # request bodies at ~256MB; measured tools/probe_const_limit.py)
+    cs = max(2, int(cfg.probe_coarse_stride) or 8)
+    n_g = -(-S // cs)
+
     @jax.jit
     def stats(params, cache, ro, rd, vd):
         pts, _, _t = sample_ray(cfg_full, ro, rd)
@@ -1201,32 +1204,51 @@ def suggest_budgets(
         else:
             pre = params.mask_cache(pts)
         res = forward(params, cfg_full, ro, rd, vd, bg=1.0, cache=cache)
-        return pre.sum(-1), res.mask.sum(-1)
+        # occupied STRIDE GROUPS per ray: sizes the hierarchical probe's
+        # candidate budget (rays whose occupied samples scatter over many
+        # groups truncate if the candidate set is sized from sample counts
+        # alone — measured 21.6 dB vs full march on a scattered-blob scene)
+        pre_pad = jnp.pad(pre, ((0, 0), (0, n_g * cs - S)))
+        groups = pre_pad.reshape(pre.shape[0], n_g, cs).any(-1).sum(-1)
+        return pre.sum(-1), res.mask.sum(-1), groups
 
-    n_occ, n_sur = [], []
+    n_occ, n_sur, n_grp = [], [], []
     n = rays_o.shape[0]
     for i in range(0, n - n % chunk, chunk):
         sl = slice(i, i + chunk)
-        a, b = stats(params, cache, rays_o[sl], rays_d[sl], viewdirs[sl])
+        a, b, g = stats(params, cache, rays_o[sl], rays_d[sl], viewdirs[sl])
         n_occ.append(np.asarray(a))
         n_sur.append(np.asarray(b))
+        n_grp.append(np.asarray(g))
     n_occ = np.concatenate(n_occ)
     n_sur = np.concatenate(n_sur)
+    n_grp = np.concatenate(n_grp)
 
     def _round8(v, lo, hi):
         return int(np.clip(-(-int(v) // 8) * 8, lo, hi))
 
     occ_q = float(np.quantile(n_occ, quantile))
     sur_q = float(np.quantile(n_sur, quantile))
+    grp_q = float(np.quantile(n_grp, quantile))
     sb = _round8(occ_q + slack, 16, S)
     cb = _round8(sur_q + slack, 8, sb)
+    # candidate groups for the hierarchical probe: the measured fine-mask
+    # group count at the quantile, widened for the coarse mask's extra
+    # dilated acceptance (+50% + 2) — the coarse probe accepts a superset
+    # of the fine groups, and an undersized candidate set truncates far
+    # content the sample budget itself would have kept
+    c_g = int(np.clip(np.ceil(grp_q * 1.5) + 2, 4, n_g))
     return {
         "sample_budget": sb,
         "color_budget": cb,
+        "probe_coarse_stride": cs,
+        "probe_candidate_groups": c_g,
         "occ_q": occ_q,
         "surv_q": sur_q,
+        "groups_q": grp_q,
         "occ_max": int(n_occ.max()),
         "surv_max": int(n_sur.max()),
+        "groups_max": int(n_grp.max()),
         "n_rays": int(n_occ.size),
     }
 

@@ -130,7 +130,8 @@ def run_render(args, cfg, data_dict, exp_dir: str) -> None:
                 ),
             }
             if occ < 0.45:
-                knobs["probe_coarse_stride"] = 8
+                knobs["probe_coarse_stride"] = rec["probe_coarse_stride"]
+                knobs["probe_candidate_groups"] = rec["probe_candidate_groups"]
             mcfg = _dc.replace(mcfg, **knobs)
             print(
                 f"auto budgets (occupancy {occ:.3f}): sample "
