@@ -670,11 +670,27 @@ def main() -> None:
         jax.block_until_ready(cache_full)
         _phase("sparse full-march cache built")
 
-        # occupancy-adaptive budgets from the scene's measured ray stats
+        # occupancy-adaptive budgets from the scene's measured ray stats —
+        # probe set = train-view rays PLUS subsampled rays of the render
+        # poses (budgets must cover the rays that will actually render;
+        # novel poses can cross more occupied samples than any train ray)
         n_probe = 4096
+        pr_l = [store["rays_o"][:n_probe]]
+        pd_l = [store["rays_d"][:n_probe]]
+        pv_l = [store["viewdirs"][:n_probe]]
+        for th in (0.41, 0.48, 0.55):
+            pos = 3.0 * np.array([np.cos(th), np.sin(th), 0.36], np.float64)
+            pose_p = synthetic.look_at_pose(pos, np.zeros(3))
+            ro_p, rd_p, vd_p = ray_ops.get_rays_of_a_view(
+                H, W, jnp.asarray(K800), jnp.asarray(pose_p[:3, :4])
+            )
+            sl = slice(0, H * W, max(1, (H * W) // 2048))
+            pr_l.append(ro_p.reshape(-1, 3)[sl])
+            pd_l.append(rd_p.reshape(-1, 3)[sl])
+            pv_l.append(vd_p.reshape(-1, 3)[sl])
         rec = fg.suggest_budgets(
-            params_s, cfg, store["rays_o"][:n_probe],
-            store["rays_d"][:n_probe], store["viewdirs"][:n_probe],
+            params_s, cfg, jnp.concatenate(pr_l),
+            jnp.concatenate(pd_l), jnp.concatenate(pv_l),
             chunk=1024, cache=cache_full,
         )
         _phase(
@@ -685,12 +701,18 @@ def main() -> None:
             f"{rec['probe_candidate_groups']} (groups q "
             f"{rec['groups_q']:.0f} max {rec['groups_max']})"
         )
-        cfg_s = dataclasses.replace(
-            cfg, sample_budget=rec["sample_budget"],
+        sparse_knobs = dict(
+            sample_budget=rec["sample_budget"],
             color_budget=rec["color_budget"],
             probe_coarse_stride=rec["probe_coarse_stride"],
             probe_candidate_groups=rec["probe_candidate_groups"],
         )
+        if os.environ.get("BENCH_SPARSE_FLAT") == "1":
+            # diagnosis switch: adaptive budgets WITHOUT the hierarchical
+            # probe (isolates budget sizing from probe conservativeness)
+            sparse_knobs["probe_coarse_stride"] = 0
+            sparse_knobs["probe_candidate_groups"] = 0
+        cfg_s = dataclasses.replace(cfg, **sparse_knobs)
 
         # full-march reference render of the SAME model (no budgets): the
         # per-scene exactness bar for the adaptive modes
