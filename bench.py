@@ -371,14 +371,15 @@ def main() -> None:
     )[0]
     _phase("exact warm render done (compile included)")
 
-    def timed_renders(fn, aux_t, th0):
+    def bench_pose(th, z=0.35):
+        pos = 3.0 * np.array([np.cos(th), np.sin(th), z], np.float64)
+        return synthetic.look_at_pose(pos, np.zeros(3))
+
+    def timed_renders(fn, aux_t, th0, z=0.35):
         best = float("inf")
         for rep in range(3):
             th = th0 + 0.07 * rep  # fresh pose each rep (relay memoizes)
-            pos = 3.0 * np.array(
-                [np.cos(th), np.sin(th), 0.35 + 0.01 * rep], np.float64
-            )
-            pose = synthetic.look_at_pose(pos, np.zeros(3))
+            pose = bench_pose(th, z + 0.01 * rep)
             t0 = time.perf_counter()
             fn(H, W, K800, pose[:3, :4], aux_t)
             best = min(best, time.perf_counter() - t0)
@@ -581,6 +582,10 @@ def main() -> None:
     # the SAME flagship model, rendered with occupancy-adaptive budgets +
     # the hierarchical probe, PSNR-gated against its own full-march render
 
+    # steep sparse-phase cameras: z/|xy| ~ 1 (45 deg down) — rays cross
+    # the thin ground patch transversally instead of grazing along it
+    SPARSE_Z = 1.0
+
     def sparse_scene_phase():
         nonlocal params
         from unboundednerfpytorch_tpu.fields.grids import MaskGrid
@@ -678,9 +683,8 @@ def main() -> None:
         pr_l = [store["rays_o"][:n_probe]]
         pd_l = [store["rays_d"][:n_probe]]
         pv_l = [store["viewdirs"][:n_probe]]
-        for th in (0.41, 0.48, 0.55):
-            pos = 3.0 * np.array([np.cos(th), np.sin(th), 0.36], np.float64)
-            pose_p = synthetic.look_at_pose(pos, np.zeros(3))
+        for th in (0.10, 0.41, 0.48, 0.55, 1.11, 1.18, 1.25):
+            pose_p = bench_pose(th, SPARSE_Z)
             ro_p, rd_p, vd_p = ray_ops.get_rays_of_a_view(
                 H, W, jnp.asarray(K800), jnp.asarray(pose_p[:3, :4])
             )
@@ -716,8 +720,9 @@ def main() -> None:
 
         # full-march reference render of the SAME model (no budgets): the
         # per-scene exactness bar for the adaptive modes
+        pose_ws = bench_pose(0.10, SPARSE_Z)
         img_full = renderer.render_image(
-            fwd_full, H, W, K800, pose_w[:3, :4],
+            fwd_full, H, W, K800, pose_ws[:3, :4],
             aux=(params_s, cache_full), chunk=full_chunk,
         )[0]
         del cache_full
@@ -754,7 +759,7 @@ def main() -> None:
             jax.block_until_ready(cache_m)
             aux_m = (params_s, cache_m)
             img_m = renderer.render_image(
-                fwd_m, H, W, K800, pose_w[:3, :4], aux=aux_m
+                fwd_m, H, W, K800, pose_ws[:3, :4], aux=aux_m
             )[0]
             mse_m = float(np.mean((img_full - img_m) ** 2))
             psnr_m = -10.0 * np.log10(max(mse_m, 1e-12))
@@ -762,7 +767,7 @@ def main() -> None:
                 lambda h, w, k, p, a: renderer.render_image(
                     fwd_m, h, w, k, p, aux=a
                 ),
-                aux_m, th0,
+                aux_m, th0, z=SPARSE_Z,
             )
             rays = H * W / sec
             rows_m = rows_for_mode(cfg_m, baked_dtype=baked_dtype)

@@ -212,6 +212,61 @@ def main():
                      lambda: create_train_state(fresh_params(), tcfg))
     print(f"e) budget+stageA probe only: {e*1e3:7.1f} ms", flush=True)
 
+    # e-sub-phases: where inside stage A the time hides
+    def _nudge(st, val):
+        dg = st.params.density
+        return st.replace(params=st.params.replace(
+            density=dg.replace(grid=dg.grid + val.astype(dg.grid.dtype) * 0)
+        ))
+
+    def e0_geom(st, bt):  # contracted sampling only
+        pts, _, t = fg.sample_ray(cfg_ts, bt["rays_o"], bt["rays_d"])
+        return _nudge(st, pts.sum())
+
+    def e1_probe(st, bt):  # + mask probe + top_k compaction
+        pts, _, t = fg.sample_ray(cfg_ts, bt["rays_o"], bt["rays_d"])
+        sel, selm = fg.budget_select(
+            st.params, cfg_ts, pts, bt["rays_o"], bt["rays_d"], t
+        )
+        return _nudge(st, sel.sum().astype(jnp.float32))
+
+    def e2_gather(st, bt):  # + the budget coordinate gather
+        pts, _, t = fg.sample_ray(cfg_ts, bt["rays_o"], bt["rays_d"])
+        sel, selm = fg.budget_select(
+            st.params, cfg_ts, pts, bt["rays_o"], bt["rays_d"], t
+        )
+        stk = jnp.concatenate(
+            [pts, jnp.broadcast_to(t, pts.shape[:2])[..., None]], -1
+        )
+        g = sampling.gather_samples(stk, sel)
+        return _nudge(st, g.sum())
+
+    def e3_coords(st, bt):  # + per-bank coords + corner base/weight math
+        pts, _, t = fg.sample_ray(cfg_ts, bt["rays_o"], bt["rays_d"])
+        sel, selm = fg.budget_select(
+            st.params, cfg_ts, pts, bt["rays_o"], bt["rays_d"], t
+        )
+        stk = jnp.concatenate(
+            [pts, jnp.broadcast_to(t, pts.shape[:2])[..., None]], -1
+        )
+        g = sampling.gather_samples(stk, sel)
+        pts_b = g[..., :3]
+        dims = st.params.density.grid.shape[1:4]
+        sg = jax.lax.stop_gradient
+        c01b = jnp.moveaxis(fg._bank_coords01(cfg_ts, sg(pts_b)), -2, 0)
+        acc = None
+        for bb in range(st.params.density.grid.shape[0]):
+            base, w = packed_ops.corner_base_and_weights(c01b[bb], dims)
+            v = base.astype(jnp.float32).sum() + w.sum()
+            acc = v if acc is None else acc + v
+        return _nudge(st, acc)
+
+    for tag, fn in (("e0 geometry", e0_geom), ("e1 +probe/topk", e1_probe),
+                    ("e2 +budget gather", e2_gather),
+                    ("e3 +coords math", e3_coords)):
+        dt = timeit_state(fn, lambda: create_train_state(fresh_params(), tcfg))
+        print(f"   {tag}: {dt*1e3:7.1f} ms", flush=True)
+
     # f) full two-stage forward only
     def fwd_ts(p, ro, rd, vd, key=None, img_index=None):
         return fg.forward(p, cfg_ts, ro, rd, vd, bg=1.0)
